@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.plans.{StepMetrics, Superstep}
+
+/** PageRank with proper dangling-mass redistribution (north-star capability,
+  * SURVEY.md §2.3 — reuses the reference's frontier-join shape,
+  * `/root/reference/main.cpp:65-87`).
+  *
+  * Per iteration (one shuffle for the contribution aggregate, one scalar agg
+  * for the dangling mass — the convergence check rides on the same state):
+  *   rank'(v) = (1-α)/n + α·( Σ_{u→v} rank(u)/outDeg(u) + danglingMass/n )
+  *
+  * Ranks sum to 1 every iteration; convergence = max |Δrank| < tol
+  * (north_star: allclose 1e-6 at convergence).
+  *
+  * Scale notes: contributions aggregate is a map-side-combinable hash agg on
+  * `dst`; the edge table is persisted hash-partitioned on `src` so the
+  * rank⨝edges join reuses one partitioning every superstep; AQE skew-join
+  * handles hub vertices.
+  */
+object PageRank {
+
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      vertices: DataFrame,
+      alpha: Double = 0.85,
+      tol: Double = 1e-6,
+      maxIter: Int = 100,
+      snapshotDir: Option[String] = None): (DataFrame, Vector[StepMetrics]) = {
+
+    val n = vertices.count().toDouble
+
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count("*").as("outDeg"))
+    val verts = vertices
+      .select("id")
+      .join(outDeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outDeg"), lit(0L)).as("outDeg"))
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesBySrc = edges.select("src", "dst")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesBySrc.count()
+
+    val state0 = verts.select(col("id"), col("outDeg"), lit(1.0 / n).as("rank"),
+      lit(true).as("changed"))
+
+    val harness = new Superstep(spark, "pagerank", snapshotDir)
+    val (converged, metrics) = harness.run(state0, maxIter) { (state, _) =>
+      val dangling = state.filter(col("outDeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+
+      val contribs = state
+        .join(edgesBySrc, state("id") === edgesBySrc("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outDeg")).as("contrib"))
+
+      state
+        .select(col("id"), col("outDeg"), col("rank").as("prevRank"))
+        .join(contribs, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("outDeg"),
+          (lit((1.0 - alpha) / n) +
+            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"),
+          col("prevRank"))
+        .withColumn("changed", abs(col("rank") - col("prevRank")) > tol)
+        .drop("prevRank")
+    } { next => next.filter(col("changed")).count() }
+
+    verts.unpersist(false)
+    edgesBySrc.unpersist(false)
+    (converged.select("id", "rank"), metrics)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** Tracks the stats-free checkpoints (see [[GraftShims.checkpointFresh]])
+  * an iterative algorithm creates, so superseded superstep states can be
+  * unpersisted promptly and everything else released when the algorithm
+  * finishes — the cache-discipline half of SURVEY.md §4(c).
+  *
+  * Usage: `fresh(df)` to checkpoint, `release(df)` when a state is
+  * superseded, `closeExcept(result)` at the end (the returned result's
+  * blocks must outlive the arena).
+  */
+final class CheckpointArena {
+  private val backing = new java.util.IdentityHashMap[DataFrame, RDD[InternalRow]]()
+
+  def fresh(df: DataFrame): DataFrame = {
+    val (out, rdd) = GraftShims.checkpointFresh(df)
+    backing.put(out, rdd)
+    out
+  }
+
+  /** Unpersist the blocks behind a superseded state (no-op for unknown). */
+  def release(df: DataFrame): Unit = {
+    val rdd = backing.remove(df)
+    if (rdd != null) rdd.unpersist(blocking = false)
+  }
+
+  /** Unpersist everything this arena still tracks except `keep`. */
+  def closeExcept(keep: DataFrame*): Unit = {
+    val keepSet = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    keep.foreach(keepSet.add)
+    val it = backing.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!keepSet.contains(e.getKey)) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Per-iteration bookkeeping emitted by the superstep harness — the Spark
+  * analog of the reference's host-side `stop` flag + timing
+  * (`/root/reference/cuda/sccv2_status.cu:35-37`, `scc_runner.cu:36-38`).
+  */
+final case class StepMetrics(iter: Int, changed: Long, wallMs: Long)
+
+/** The iteration harness every graph algorithm runs on (SURVEY.md §7.1 #3).
+  *
+  * Responsibilities:
+  *   - **Lineage control**: iterative DataFrame code doubles its logical plan
+  *     every superstep unless the plan is cut; we `localCheckpoint(eager)`
+  *     each iteration (the #1 failure mode of naive iterative Spark).
+  *   - **Convergence**: one driver action per superstep reads a single scalar
+  *     (the changed-row count), mirroring the reference's per-superstep
+  *     `d_stop` memcpy — never a `collect` of state.
+  *   - **Resumability** (north_rule): when `snapshotDir` is set, every
+  *     `snapshotEvery` iterations the state is written as parquet (one file
+  *     per partition = per-partition lineage) together with a JSON manifest
+  *     line (iteration, changed count, wall ms). `resume` restarts from the
+  *     newest snapshot.
+  */
+final class Superstep(
+    spark: SparkSession,
+    name: String,
+    snapshotDir: Option[String] = None,
+    snapshotEvery: Int = 10,
+    arena: CheckpointArena = new CheckpointArena) {
+
+  private def manifestPath = snapshotDir.map(d => Paths.get(d, s"$name.manifest.jsonl"))
+
+  /** Run `step` from `state0` until `changedOf(next)` returns 0 or `maxIter`.
+    * `step` must return the full next state; `changedOf` is evaluated on the
+    * already-checkpointed state so its scan is cheap and never recomputes the
+    * step. Returns the converged state and per-iteration metrics.
+    */
+  def run(state0: DataFrame, maxIter: Int, startIter: Int = 0)(
+      step: (DataFrame, Int) => DataFrame)(
+      changedOf: DataFrame => Long): (DataFrame, Vector[StepMetrics]) = {
+    var state = arena.fresh(state0)
+    val metrics = Vector.newBuilder[StepMetrics]
+    var iter = startIter
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val t0 = System.nanoTime()
+      val next = arena.fresh(step(state, iter))
+      changed = changedOf(next)
+      arena.release(state)
+      state = next
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      metrics += StepMetrics(iter, changed, wallMs)
+      snapshotDir.foreach { dir =>
+        val snap = iter % snapshotEvery == 0 || changed == 0
+        val snapPath = if (snap) {
+          val p = s"$dir/$name.state_$iter"
+          state.write.mode("overwrite").parquet(p)
+          "\"" + p + "\""
+        } else "null"
+        val line =
+          s"""{"name":"$name","iter":$iter,"changed":$changed,"wallMs":$wallMs,"snapshot":$snapPath}\n"""
+        Files.writeString(
+          manifestPath.get, line,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+      iter += 1
+    }
+    (state, metrics.result())
+  }
+
+  /** Newest durable snapshot, if any: (state, next iteration to run). */
+  def resume(): Option[(DataFrame, Int)] =
+    manifestPath.filter(Files.exists(_)).flatMap { p =>
+      val snapRe = """"iter":(\d+).*"snapshot":"([^"]+)"""".r.unanchored
+      scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(p)).asScala
+        .flatMap {
+          case snapRe(i, path) => Some((i.toInt, path))
+          case _ => None
+        }
+        .lastOption
+        .map { case (i, path) => (spark.read.parquet(path), i + 1) }
+    }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Degrees, PageRank, Triangles, Wcc}
+import graft.sources.{GraphGen, GraphSpec}
+
+class WccSpec extends SparkTest {
+  test("wcc matches union-find on fixtures") {
+    for (name <- Seq("sample_graph", "sample_graph5", "sample_graph8")) {
+      val (edges, n, _) = fixture(name)
+      val expected = Oracle.wcc(0L until n, edges)
+      val (got, _) = Wcc.run(spark, edgesDf(edges), vertsDf(0L until n))
+      assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected, name)
+    }
+  }
+
+  test("wcc on a long path converges in O(log) rounds, not O(diameter) supersteps") {
+    val edges = (0L until 200L).map(i => (i, i + 1))
+    val expected = Oracle.wcc(0L to 200L, edges)
+    val (got, metrics) = Wcc.run(spark, edgesDf(edges), vertsDf(0L to 200L))
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    assert(metrics.size < 30, s"took ${metrics.size} supersteps for diameter 200")
+  }
+
+  test("wcc on generated graph") {
+    val spec = GraphSpec(numCycles = 30, maxCycleLen = 8, extraArcsPerVertex = 0.2, seed = 5L)
+    val edges = GraphGen.edges(spark, spec).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Oracle.wcc(0L until spec.numVertices, edges)
+    val (got, _) = Wcc.run(spark, GraphGen.edges(spark, spec), GraphGen.vertices(spark, spec))
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+}
+
+class PageRankSpec extends SparkTest {
+  test("pagerank matches power iteration within 1e-6 and sums to 1") {
+    val (edges, n, _) = fixture("sample_graph")
+    val expected = Oracle.pagerank(0L until n, edges)
+    val (got, _) = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n))
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(gotMap.values.sum - 1.0) < 1e-9)
+    for (v <- 0L until n)
+      assert(math.abs(gotMap(v) - expected(v)) < 1e-6, s"vertex $v")
+  }
+
+  test("pagerank with dangling vertices (sinks) still sums to 1") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L)) // 2 is a sink
+    val expected = Oracle.pagerank(Seq(0L, 1L, 2L), edges)
+    val (got, _) = PageRank.run(spark, edgesDf(edges), vertsDf(Seq(0L, 1L, 2L)))
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(gotMap.values.sum - 1.0) < 1e-9)
+    for (v <- Seq(0L, 1L, 2L))
+      assert(math.abs(gotMap(v) - expected(v)) < 1e-6)
+  }
+}
+
+class TrianglesSpec extends SparkTest {
+  test("triangle count matches brute force on fixtures") {
+    for (name <- Seq("sample_graph", "sample_graph5", "sample_graph8")) {
+      val (edges, _, _) = fixture(name)
+      val expected = Oracle.triangles(edges)
+      val got = Triangles.total(spark, edgesDf(edges)).head().getLong(0)
+      assert(got == expected, name)
+    }
+  }
+
+  test("triangle count on generated graph") {
+    val spec = GraphSpec(numCycles = 25, maxCycleLen = 6, extraArcsPerVertex = 1.5, seed = 9L)
+    val edges = GraphGen.edges(spark, spec).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Oracle.triangles(edges)
+    val got = Triangles.total(spark, GraphGen.edges(spark, spec)).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("per-vertex triangle counts sum to 3x total") {
+    val spec = GraphSpec(numCycles = 10, maxCycleLen = 6, extraArcsPerVertex = 2.0, seed = 11L)
+    val e = GraphGen.edges(spark, spec)
+    val total = Triangles.total(spark, e).head().getLong(0)
+    val per = Triangles.perVertex(spark, e).agg(sum("triangles")).head().getLong(0)
+    assert(per == 3 * total)
+  }
+}
+
+class DegreesSpec extends SparkTest {
+  test("degrees match hand computation") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
+    val got = Degrees.all(edgesDf(edges), vertsDf(Seq(0L, 1L, 2L, 3L, 4L)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((2L, 1L)), 1L -> ((1L, 1L)), 2L -> ((0L, 2L)),
+      3L -> ((1L, 0L)), 4L -> ((0L, 0L))))
+  }
+}

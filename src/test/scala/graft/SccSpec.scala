@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scc
+import graft.sources.{GraphGen, GraphSpec}
+
+class SccSpec extends SparkTest {
+
+  /** Check both execution paths: hybrid (local Tarjan routing, the default)
+    * and pure distributed FW-BW (threshold 0 forces every partition through
+    * the superstep loop).
+    */
+  private def checkDecomposition(edges: Seq[(Long, Long)], vertices: Seq[Long]): Unit = {
+    val expected = Oracle.tarjan(vertices, edges)
+    for (threshold <- Seq(250000L, 0L)) {
+      val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+        localSolveEdgeThreshold = threshold)
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMap == expected, s"threshold=$threshold")
+    }
+  }
+
+  test("two cycles joined by an arc") {
+    // 0→1→2→0 and 3→4→3, arc 2→3
+    checkDecomposition(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 3L), (2L, 3L)),
+      Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("chain of singletons") {
+    checkDecomposition((0L until 9L).map(i => (i, i + 1)), (0L to 9L))
+  }
+
+  test("disconnected cycles resolve in parallel") {
+    val edges = (0 until 20).flatMap { c =>
+      val base = c * 3L
+      Seq((base, base + 1), (base + 1, base + 2), (base + 2, base))
+    }
+    checkDecomposition(edges, (0L until 60L))
+  }
+
+  test("mutual pair (trim-2 shape)") {
+    checkDecomposition(
+      Seq((0L, 1L), (1L, 0L), (2L, 0L), (1L, 3L)),
+      Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("overlapping mutual pairs are one SCC, not two trim-2 pairs") {
+    // a1↔b, a2↔b: the whole {a1,a2,b} is strongly connected
+    checkDecomposition(
+      Seq((0L, 2L), (2L, 0L), (1L, 2L), (2L, 1L)),
+      Seq(0L, 1L, 2L))
+  }
+
+  test("all reference sample graphs: decomposition matches Tarjan") {
+    val names = Seq("sample_graph", "sample_graph1", "sample_graph2", "sample_graph3",
+      "sample_graph4", "sample_graph4T", "sample_graph5", "sample_graph5B",
+      "sample_graph6", "sample_graph6B", "sample_graph7A", "sample_graph7B",
+      "sample_graph7C", "sample_graph7D", "sample_graph7E", "sample_graph8")
+    for (name <- names) {
+      val (edges, n, _) = fixture(name)
+      val vertices = (0L until n)
+      val expected = Oracle.tarjan(vertices, edges)
+      // hybrid path on all; pure-distributed path spot-checked on a few
+      val thresholds = if (name.endsWith("8") || name == "sample_graph") Seq(250000L, 0L)
+        else Seq(250000L)
+      for (threshold <- thresholds) {
+        val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+          localSolveEdgeThreshold = threshold)
+        val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotMap == expected, s"fixture $name threshold=$threshold")
+      }
+    }
+  }
+
+  test("accepted SCCs match verify.py semantics on all fixtures") {
+    val names = Seq("sample_graph", "sample_graph1", "sample_graph2", "sample_graph5",
+      "sample_graph6", "sample_graph7A", "sample_graph8")
+    for (name <- names) {
+      val (edges, n, u) = fixture(name)
+      val vertices = (0L until n)
+      val expected = Oracle.acceptedComps(vertices, edges, u)
+      val acc = Scc.accepted(spark, edgesDf(edges), vertsDf(vertices, u), Scc.FullGraph)
+      val got = acc.filter(col("accepted")).select("comp").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"fixture $name")
+    }
+  }
+
+  test("accepted SCCs, induced-U (reference engine) semantics") {
+    for (name <- Seq("sample_graph", "sample_graph5", "sample_graph8")) {
+      val (edges, n, u) = fixture(name)
+      val vertices = (0L until n)
+      val expected = Oracle.acceptedCompsInduced(vertices, edges, u)
+      val acc = Scc.accepted(spark, edgesDf(edges), vertsDf(vertices, u), Scc.InducedU)
+      val got = acc.filter(col("accepted")).select("comp").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"fixture $name")
+    }
+  }
+
+  test("semantic gap regression: SCC of G[U] inside a larger SCC of G") {
+    // 0→1→2→0 is an SCC of G; U={0,1}: G[U] has 0↔? no — use explicit pair:
+    // G: 0↔1 via 2 (0→1, 1→2, 2→0) plus direct 1→0. U = {0,1}.
+    // G[U] SCC {0,1} (0→1,1→0). Full-G SCC is {0,1,2} ⊄ U ⇒ oracle rejects;
+    // induced engine accepts iff no U vertex outside points in (none).
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L))
+    val vertices = Seq(0L, 1L, 2L)
+    val u = Set(0L, 1L)
+    assert(Oracle.acceptedComps(vertices, edges, u) == Set.empty[Long])
+    assert(Oracle.acceptedCompsInduced(vertices, edges, u) == Set(0L))
+    val full = Scc.accepted(spark, edgesDf(edges), vertsDf(vertices, u), Scc.FullGraph)
+    assert(full.filter(col("accepted")).count() == 0)
+    val ind = Scc.accepted(spark, edgesDf(edges), vertsDf(vertices, u), Scc.InducedU)
+    assert(ind.filter(col("accepted")).select("comp").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(0L))
+  }
+
+  test("answer extraction is ascending members of min accepted comp") {
+    val (edges, n, u) = fixture("sample_graph")
+    val acc = Scc.accepted(spark, edgesDf(edges), vertsDf(0L until n, u), Scc.FullGraph)
+    val ans = Scc.answer(acc).collect().map(_.getLong(0)).toSeq
+    val expected = Oracle.acceptedComps(0L until n, edges, u)
+    if (expected.isEmpty) assert(ans.isEmpty)
+    else {
+      val comp = Oracle.tarjan(0L until n, edges)
+      val chosen = expected.min
+      assert(ans == comp.collect { case (v, c) if c == chosen => v }.toSeq.sorted)
+    }
+  }
+
+  test("generated graph (seeded): decomposition matches Tarjan") {
+    val spec = GraphSpec(numCycles = 40, maxCycleLen = 8, extraArcsPerVertex = 0.3, seed = 7L)
+    val edges = GraphGen.edges(spark, spec).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vertices = (0L until spec.numVertices)
+    val expected = Oracle.tarjan(vertices, edges)
+    // threshold=12 forces mixed routing: big merged components run the
+    // distributed FW-BW loop, small cycles route to local Tarjan.
+    for (threshold <- Seq(250000L, 12L)) {
+      val (got, _) = Scc.components(spark, GraphGen.edges(spark, spec),
+        GraphGen.vertices(spark, spec), localSolveEdgeThreshold = threshold)
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMap == expected, s"threshold=$threshold")
+    }
+  }
+
+  test("determinism: same result at different parallelism (repartitioned input)") {
+    val spec = GraphSpec(numCycles = 20, maxCycleLen = 6, extraArcsPerVertex = 0.4, seed = 3L)
+    val e = GraphGen.edges(spark, spec)
+    val v = GraphGen.vertices(spark, spec)
+    val (a, _) = Scc.components(spark, e.repartition(2), v.repartition(2))
+    val (b, _) = Scc.components(spark, e.repartition(13), v.repartition(7))
+    assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}
