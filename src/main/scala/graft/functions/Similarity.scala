@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exactness baseline and
+  * a signed-random-projection LSH bucketed variant as the scale path.
+  * Vector math is `zip_with`/`aggregate` column algebra — runs inside
+  * whole-stage codegen, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a float-array column. */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity (0 if either vector is all-zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2norm(a) * l2norm(b)
+    when(n > 0, d / n).otherwise(0.0)
+  }
+
+  /** Exact brute-force cosine top-k: for every query vector, the k nearest
+    * corpus vectors. Queries are broadcast (they're the small side by
+    * construction); ranking is a per-query window. Output:
+    * (queryId, rank, neighborId, cosine). Cosine is rounded to 6 dp before
+    * ranking so the ordering is reproducible across float-sum orders;
+    * residual ties break by neighbor id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("queryId"), col(qVec).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = corpus.select(col(cId).as("neighborId"), col(cVec).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val scored = broadcast(q).join(c, col("queryId") =!= col("neighborId"))
+      .withColumn("cosine",
+        round(when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(0.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("queryId", "rank", "neighborId", "cosine")
+  }
+
+  private val bitMasks: Array[Long] = Array.tabulate(63)(i => 1L << i)
+
+  /** Deterministic Rademacher (±1) hyperplane component for plane p, dim j. */
+  private def rademacher(p: Column, j: Column): Column =
+    when(pmod(xxhash64(lit(0x5157L), p, j), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Signed-random-projection LSH bucket id over `numPlanes` hyperplanes:
+    * bit p = sign(v · r_p) with r_p a deterministic ±1 vector. Same-bucket
+    * vectors are cosine-close with high probability.
+    */
+  def srpBucket(v: Column, numPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+        struct(p.as("p"),
+          (aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1),
+              (x, j) => x.cast("double") * rademacher(p, j)),
+            lit(0.0), (acc, x) => acc + x) > 0).as("bit"))),
+      lit(0L),
+      (acc, s) => when(s.getField("bit"),
+        acc.bitwiseOR(element_at(typedLit(bitMasks), s.getField("p") + 1))).otherwise(acc))
+
+  /** ANN top-k via SRP-LSH bucketing with multiprobe (each vector also
+    * probes the `probes` single-bit-flip neighbor buckets), re-ranked by
+    * exact cosine within candidates. Same output shape as
+    * [[bruteForceTopK]]; recall < 1 by design — measured in tests.
+    * Scale: candidates per query ≈ corpus/2^planes × (1+probes); the join
+    * is an equi-join on bucket id, never a cross join.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 8, probes: Int = 4,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(cId).as("neighborId"), col(cVec).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+      .withColumn("bucket", srpBucket(col("cv"), numPlanes))
+    val q0 = queries.select(col(qId).as("queryId"), col(qVec).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("b0", srpBucket(col("qv"), numPlanes))
+    // multiprobe: own bucket + single-bit flips of the first `probes` planes
+    val q = q0.select(
+      col("queryId"), col("qv"), col("qn"),
+      explode(concat(array(col("b0")),
+        transform(sequence(lit(0), lit(probes - 1)),
+          p => col("b0").bitwiseXOR(element_at(typedLit(bitMasks), p + 1))))).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("queryId") =!= col("neighborId"))
+      .withColumn("cosine",
+        round(when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(0.0), 6))
+      .select("queryId", "neighborId", "cosine")
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("queryId", "rank", "neighborId", "cosine")
+  }
+}

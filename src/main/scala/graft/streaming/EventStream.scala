@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props): watermarked windowed
+  * aggregation and stateful sessionization via `flatMapGroupsWithState`.
+  * The reference is strictly batch (SURVEY.md §2.2) — this is the
+  * north-star streaming extension; batch parquet drives the same plan in
+  * tests via the file source + `processAllAvailable`.
+  */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window per-type aggregate with a 10-minute watermark:
+    * (window, event_type, n, total). Append-mode safe.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, startMs: Long, endMs: Long, n: Int, total: Double)
+
+  /** Sessionize per user with an inactivity gap, using EVENT-time timeouts
+    * against the watermark — deterministic (no wall-clock dependence): a
+    * session closes when a later same-user event exceeds the gap, or when
+    * the watermark passes sessionEnd + gap. The custom-state operator the
+    * reference has no analog for — flatMapGroupsWithState is the
+    * Spark-native escape hatch for it. Input must carry a watermark on
+    * `ts` (see [[sessionizeStream]]).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.start, s.last, s.n, s.total))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            for (e <- evs) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += Session(uid, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes last + gap
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Watermarked typed view for [[sessionize]] over the events schema. */
+  def sessionizeStream(
+      events: DataFrame, gapMs: Long = 30 * 60 * 1000,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    sessionize(
+      events
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event],
+      gapMs)
+  }
+
+  /** Batch-equivalent sessionization (same gap semantics) for verification:
+    * session boundaries via lag() windows — the DuckDB-oracle-friendly form.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sessionId")
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("prevTs", lag("ts", 1).over(w))
+      .withColumn("newSession",
+        when(col("prevTs").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prevTs"))) > gapMs, 1).otherwise(0))
+      .withColumn("sessionId", sum("newSession").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sessionId")
+      .agg(
+        min("ts").as("sessionStart"),
+        max("ts").as("sessionEnd"),
+        count("*").as("n"),
+        sum("value").as("total"))
+  }
+}

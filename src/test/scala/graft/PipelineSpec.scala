@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.{CodeTable, GraphGen, GraphSpec}
+
+class CodeTableSpec extends SparkTest {
+  val spec = GraphSpec(numCycles = 20, maxCycleLen = 8, extraArcsPerVertex = 0.5, seed = 13L)
+
+  test("extractEdges reproduces exactly the generator's edge list") {
+    val files = CodeTable.generate(spark, spec)
+    val expected = GraphGen.edges(spark, spec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = CodeTable.extractEdges(files)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("sha256 per-row invariant survives the pipeline") {
+    val files = CodeTable.generate(spark, spec)
+    // pipeline: extract edges, join results back — content must be unchanged
+    val afterPipeline = files
+      .join(CodeTable.extractEdges(files).groupBy(col("src").as("fileId"))
+        .agg(count("*").as("outDeg")), Seq("fileId"), "left")
+    val violations = afterPipeline
+      .filter(sha2(col("content"), 256) =!= col("sha")).count()
+    assert(violations == 0)
+  }
+
+  test("schema matches the input_hint shape and ids are dense") {
+    val files = CodeTable.generate(spark, spec)
+    assert(Seq("fileId", "repo", "path", "commit", "lang", "content", "sha")
+      .forall(files.columns.contains))
+    val n = files.count()
+    assert(files.agg(min("fileId"), max("fileId")).head() ==
+      org.apache.spark.sql.Row(0L, n - 1))
+    assert(files.select("path").distinct().count() == n)
+    assert(files.filter(length(col("commit")) =!= 40).count() == 0)
+  }
+}
+
+class TextAnalysisSpec extends SparkTest {
+  import org.apache.spark.sql.DataFrame
+  def one(text: String): DataFrame = {
+    val s = spark; import s.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("tokenCount") {
+    assert(one("a b  c").select(TextAnalysis.tokenCount(col("text"))).head().getInt(0) == 3)
+    assert(one("   ").select(TextAnalysis.tokenCount(col("text"))).head().getInt(0) == 0)
+    assert(one("").select(TextAnalysis.tokenCount(col("text"))).head().getInt(0) == 0)
+  }
+
+  test("ratios and quality score are in range and deterministic") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        TextAnalysis.alphaRatio(col("text")).as("ar"),
+        TextAnalysis.punctRatio(col("text")).as("pr"),
+        TextAnalysis.stopwordRatio(col("text")).as("sr"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    val bad = df.filter(
+      col("ar") < 0 || col("ar") > 1 || col("pr") < 0 || col("pr") > 1 ||
+        col("sr") < 0 || col("sr") > 1 || col("q") < 0 || col("q") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("langId picks the language with most marker hits") {
+    assert(one("the cat and the dog of the house")
+      .select(TextAnalysis.langId(col("text"))).head().getString(0) == "en")
+    assert(one("el perro y la casa de los gatos es una")
+      .select(TextAnalysis.langId(col("text"))).head().getString(0) == "es")
+    assert(one("xyzzy plugh")
+      .select(TextAnalysis.langId(col("text"))).head().getString(0) == "und")
+  }
+
+  test("fingerprint is order-insensitive; rollingHash is order-sensitive") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a b c", "c b a"), ("a b c", "a b d")).toDF("t1", "t2")
+    val r = df.select(
+      (TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2"))).as("fpEq"),
+      (TextAnalysis.rollingHash(col("t1")) === TextAnalysis.rollingHash(col("t2"))).as("rhEq"))
+      .collect()
+    assert(r(0).getBoolean(0) && !r(0).getBoolean(1)) // permutation: fp equal, rh not
+    assert(!r(1).getBoolean(0) && !r(1).getBoolean(1)) // different: both differ
+  }
+}
+
+class DedupSpec extends SparkTest {
+  def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = docsDf(Seq(1L -> "hello world", 2L -> "hello world", 3L -> "other text",
+      4L -> "hello world"))
+    val r = Dedup.exact(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((1L, 3L, true)) && r(2L) == ((1L, 3L, false)) &&
+      r(4L) == ((1L, 3L, false)) && r(3L)._3)
+  }
+
+  test("minhash LSH finds near-duplicates and skips dissimilar docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val different = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> different))
+    val pairs = Dedup.minhashDuplicates(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash jaccard estimates match exact jaccard on candidates") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (6 to 35).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(Seq(1L -> a, 2L -> b))
+    val got = Dedup.minhashDuplicates(docs, col("doc_id"), col("text"), threshold = 0.0)
+    // reported jaccard is the exact shingle jaccard (verification step)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val exact = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(Dedup.jaccard(col("x.sh"), col("y.sh"))).head().getDouble(0)
+    got.collect().foreach(r => assert(math.abs(r.getDouble(2) - exact) < 1e-6))
+  }
+
+  test("simhash hamming ~ text similarity; bucketing finds close pairs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val close = (1 to 59).map(i => s"tok$i").mkString(" ") + " tokNEW"
+    val far = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val docs = docsDf(Seq(1L -> base, 2L -> close, 3L -> far))
+    val sigs = docs.select(Dedup.simhash(col("text")).as("s")).collect().map(_.getLong(0))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) < java.lang.Long.bitCount(sigs(0) ^ sigs(2)))
+    val pairs = Dedup.simhashDuplicates(docs, col("doc_id"), col("text"), maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("embedding near-dup finds the planted close pair") {
+    val s = spark; import s.implicits._
+    val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val v2 = v1.updated(7, v1(7) + 0.01f) // nearly identical
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val embs = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDuplicates(embs, col("vec_id"), col("embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkTest {
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k matches driver-side computation") {
+    val queries = embs.filter(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(queries, embs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    // independent driver-side oracle
+    val all = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb > 0) d / (na * nb) else 0.0
+    }
+    for (q <- Seq(0L, 1L, 2L)) {
+      val expected = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(all(q), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotQ = (1 to 5).map(rank => got((q, rank)))
+      assert(gotQ == expected, s"query $q")
+    }
+  }
+
+  test("LSH top-k has high recall on clustered embeddings") {
+    // Uniform-random vectors (the testdata embeddings) are the known
+    // adversarial case for any LSH — all cosines are near-ties. Real
+    // embedding spaces are clustered; synthesize 20 clusters of 20 vectors
+    // (base + small deterministic noise) and require the buckets to find
+    // same-cluster neighbors.
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 20; i <- 0 until 20) yield {
+      val noise = Array.fill(16)((rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 20 + i).toLong, bases(c).zip(noise).map { case (b, n) => b + n })
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, clustered, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(queries, clustered, 10, numPlanes = 8, probes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.8, s"recall=$recall")
+  }
+}
+
+class MultimodalSpec extends SparkTest {
+  test("decode/features/frames plumbing on synthetic assets") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val dec = Multimodal.decode(assets)
+    val d = dec.collect()
+    assert(d.length == 30 && d.forall(a => a.width >= 64 && a.height >= 64 && a.frames >= 1))
+
+    val feats = Multimodal.features(dec).collect()
+    assert(feats.forall(f => f.features.length == 16 &&
+      math.abs(f.features.sum - 1.0f) < 1e-3))
+
+    val frames = Multimodal.sampleFrames(dec, 3)
+    val perAsset = frames.groupBy("assetId").count().collect()
+    assert(perAsset.nonEmpty && perAsset.forall(_.getLong(1) <= 3))
+
+    val resized = Multimodal.resize(dec, 32).collect()
+    assert(resized.forall(a => math.max(a.width, a.height) <= 32))
+  }
+}
+
+class SuperstepResumeSpec extends SparkTest {
+  test("resume restarts from the last snapshot and converges identically") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val state0 = (0L until 50L).map(v => (v, v)).toDF("id", "value")
+
+    def step(st: org.apache.spark.sql.DataFrame, i: Int) =
+      st.select(col("id"), greatest(col("value") - 7, lit(0L)).as("value"))
+
+    def changed(st: org.apache.spark.sql.DataFrame) =
+      st.filter(col("value") > 0).count()
+
+    // run 1: stop after 3 iterations (simulated failure)
+    val h1 = new graft.plans.Superstep(spark, "toy", Some(dir), snapshotEvery = 1)
+    h1.run(state0, maxIter = 3)(step)(changed)
+
+    // run 2: resume and finish
+    val h2 = new graft.plans.Superstep(spark, "toy", Some(dir), snapshotEvery = 1)
+    val Some((resumed, startIter)) = h2.resume()
+    assert(startIter == 3)
+    val (fin, _) = h2.run(resumed, maxIter = 100, startIter = startIter)(step)(changed)
+
+    // oracle: full uninterrupted run
+    val h3 = new graft.plans.Superstep(spark, "toy2", None)
+    val (finFull, _) = h3.run(state0, maxIter = 100)(step)(changed)
+    assert(fin.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      finFull.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkTest {
+
+  test("windowed counts over streamed events match the batch plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(EventStream.schema).parquet(dir)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_out")
+      .select(col("window.start").cast("string").as("ws"), col("event_type"), col("n"),
+        round(col("total"), 4).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total"))
+      .select(col("window.start").cast("string").as("ws"), col("event_type"), col("n"),
+        round(col("total"), 4).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization emits sessions consistent with the batch form") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(EventStream.schema.fields.dropRight(1)))
+      .parquet(dir)
+    val q = EventStream.sessionizeStream(stream, gapMs = 10 * 60 * 1000, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedClosed = spark.table("sess_out")
+      .select("user_id", "startMs", "endMs", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    val batch = EventStream.sessionizeBatch(
+      spark.read.parquet(dir), gapMs = 10 * 60 * 1000)
+      .select(col("user_id"), unix_millis(col("sessionStart").cast("timestamp")),
+        unix_millis(col("sessionEnd").cast("timestamp")), col("n").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // The stream only emits sessions CLOSED by a newer event or timeout;
+    // open sessions stay in state. Every emitted session must be a batch
+    // session, and most batch sessions should have been emitted.
+    assert(streamedClosed.subsetOf(batch),
+      s"stream emitted ${streamedClosed.size} sessions, ${(streamedClosed -- batch).size} not in batch")
+    assert(streamedClosed.size >= batch.size / 2,
+      s"only ${streamedClosed.size} of ${batch.size} sessions emitted")
+  }
+}
