@@ -1,0 +1,25 @@
+package graft
+
+import graft.operators.Scc
+import graft.sources.{GraphGen, GraphSpec}
+
+/** Scratch sizing probe for the bench graph (not part of the contract). */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val numCycles = args(1).toLong
+    val spark = Sessions.local(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    val spec = GraphSpec(numCycles = numCycles, maxCycleLen = 6,
+      extraArcsPerVertex = 1.2, seed = 42L)
+    val edges = GraphGen.edges(spark, spec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = edges.count()
+    val t0 = System.nanoTime()
+    val (comp, metrics) = Scc.components(spark, edges, GraphGen.vertices(spark, spec))
+    val cnt = comp.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f tput=${m / sec}%.0f e/s rounds=${metrics.size}")
+    spark.stop()
+  }
+}

@@ -1,13 +1,414 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Degrees, PageRank, Scc, Triangles, Wcc}
+import graft.sources.{CodeTable, GraphSpec}
+import graft.streaming.EventStream
+
+/** Driver contract (SURVEY.md §7): one entry per implemented operator, with
+  * a DuckDB-equivalent oracle where ANSI SQL can express the semantics.
+  *
+  * Conventions keeping the hash-compare honest:
+  *   - identical column names/aliases on both sides;
+  *   - deterministic ORDER BY on both sides;
+  *   - double aggregates rounded (4–6 dp) on both sides;
+  *   - time bucketing via integer division of epoch micros (exact in both);
+  *   - booleans cast to int (engine-portable hashing).
+  *
+  * The shared derived graph: vertices = customers (dense 0..N-1 custkeys),
+  * edges from a sparse deterministic order->customer mapping
+  * (`o_orderkey % 7 = 0`, dst = (o_orderkey*17) mod N) — sparse enough for
+  * recursive-CTE oracles, structured enough for nontrivial components.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Derived edge table (src, dst) over customer vertices. */
+  private def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "customer").count()
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_custkey").as("src"), ((col("o_orderkey") * 17) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def customerVertices(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey").as("id"))
+
+  /** SQL fragment mirroring [[derivedEdges]] exactly. */
+  private val edgesSql =
+    """edges AS (
+      |  SELECT DISTINCT o_custkey AS src, (o_orderkey*17) % (SELECT count(*) FROM customer) AS dst
+      |  FROM orders
+      |  WHERE o_orderkey % 7 = 0 AND o_custkey <> (o_orderkey*17) % (SELECT count(*) FROM customer))""".stripMargin
+
+  /** Flagship query (driver smoke-checks rows>0 on sf0.001): full engine
+    * path — synthesize the source-code table, extract import edges, run the
+    * reference SCC query, summarize accepted components.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val spec = GraphSpec(numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L)
+    val files = CodeTable.generate(spark, spec)
+    val edges = CodeTable.extractEdges(files)
+    val vertices = files.select(col("fileId").as("id"),
+      (pmod(xxhash64(lit(46L), col("fileId")), lit(5)) < 3).as("isU"))
+    val acc = Scc.accepted(spark, edges, vertices, Scc.FullGraph)
+    acc.groupBy("accepted").agg(
+      countDistinct("comp").as("nComps"),
+      count("*").as("nVertices"))
+      .orderBy("accepted")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections ----
+    "q_scan_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")),
+
+    // ---- aggregation (TPC-H Q1 shape) ----
+    "q_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- multi-join + top-k ----
+    "q_join_topk" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("n_name"))
+        .limit(10)),
+
+    // ---- window functions ----
+    "q_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_id"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // ---- graph: degrees ----
+    "q_degree_topk" -> ((s, d) =>
+      Degrees.all(derivedEdges(s, d), customerVertices(s, d))
+        .orderBy(col("deg").desc, col("id"))
+        .limit(20)
+        .select(col("id"), col("outDeg").as("out_deg"), col("inDeg").as("in_deg"),
+          col("deg"))),
+
+    // ---- graph: triangle count ----
+    "q_triangles" -> ((s, d) =>
+      Triangles.total(s, derivedEdges(s, d))),
+
+    // ---- graph: WCC ----
+    "q_wcc" -> ((s, d) =>
+      Wcc.run(s, derivedEdges(s, d), customerVertices(s, d))._1
+        .orderBy("id")),
+
+    // ---- graph: SCC decomposition ----
+    "q_scc" -> ((s, d) =>
+      Scc.components(s, derivedEdges(s, d), customerVertices(s, d))._1
+        .orderBy("id")),
+
+    // ---- graph: the reference's accepted-SCC query (full-G semantics) ----
+    "q_scc_accepted" -> ((s, d) => {
+      val verts = customerVertices(s, d)
+        .withColumn("isU", col("id") % 5 < 2)
+      Scc.accepted(s, derivedEdges(s, d), verts, Scc.FullGraph)
+        .select(col("id"), col("comp"), col("accepted").cast("int").as("accepted"))
+        .orderBy("id")
+    }),
+
+    // ---- graph: PageRank (no ANSI-SQL oracle; rows-only check) ----
+    "q_pagerank_topk" -> ((s, d) =>
+      PageRank.run(s, derivedEdges(s, d), customerVertices(s, d))._1
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)),
+
+    // ---- dedup: exact ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("groupId").as("group_id"),
+          col("groupSize").as("group_size"),
+          col("isCanonical").cast("int").as("is_canonical"))
+        .orderBy("doc_id")),
+
+    // ---- dedup: n-gram jaccard (pairs among first 20 docs) ----
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val l = docs.select(col("doc_id").as("a"), col("sh").as("shA"))
+      val r = docs.select(col("doc_id").as("b"), col("sh").as("shB"))
+      l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"), round(Dedup.jaccard(col("shA"), col("shB")), 6).as("jaccard"))
+        .filter(col("jaccard") > 0)
+        .orderBy("a", "b")
+    }),
+
+    // ---- dedup: MinHash LSH near-dup pairs (rows-only: hash family is
+    // engine-specific) ----
+    "q_minhash_dups" -> ((s, d) =>
+      Dedup.minhashDuplicates(t(s, d, "documents"), col("doc_id"), col("text"),
+        threshold = 0.2)
+        .orderBy("a", "b")),
+
+    // ---- dedup: SimHash near-dup pairs (rows-only) ----
+    "q_simhash_dups" -> ((s, d) =>
+      Dedup.simhashDuplicates(t(s, d, "documents"), col("doc_id"), col("text"),
+        maxDistance = 16)
+        .orderBy("a", "b")),
+
+    // ---- dedup: embedding cosine near-dup pairs ----
+    "q_embedding_dups" -> ((s, d) =>
+      Dedup.embeddingDuplicates(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.5)
+        .orderBy("a", "b")),
+
+    // ---- similarity: brute-force cosine top-k ----
+    "q_ann_topk" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(embs.filter(col("vec_id") < 10), embs, 5)
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("neighborId").as("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- similarity: LSH ANN (rows-only: approximate by design) ----
+    "q_ann_lsh" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.lshTopK(embs.filter(col("vec_id") < 10), embs, 5,
+        numPlanes = 6, probes = 6)
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("neighborId").as("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis: token counts + ratios ----
+    "q_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextAnalysis.meanTokenLen(col("text")), 6).as("mean_token_len"))
+        .orderBy("doc_id")),
+
+    // ---- text analysis: quality + language id (rows-only: heuristic) ----
+    "q_text_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id")),
+
+    // ---- events: tumbling-window aggregation (5 min) ----
+    "q_events_window" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        // exact integer bucketing: Spark's `/` is true division (double)
+        .withColumn("bucket", ((col("us") - pmod(col("us"), lit(300000000L))) / 300000000L)
+          .cast("long"))
+        .drop("us")
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        .orderBy("bucket", "event_type")),
+
+    // ---- events: gap sessionization (batch form) ----
+    "q_sessionize" -> ((s, d) =>
+      EventStream.sessionizeBatch(t(s, d, "events"), gapMs = 10 * 60 * 1000)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n").as("n_events"),
+          round(sum("total"), 4).as("total_value"))
+        .orderBy("user_id")),
+
+    // ---- ingest: import-edge extraction from the code table (rows-only:
+    // table is synthesized Spark-side) ----
+    "q_import_edges" -> ((s, _) => {
+      val spec = GraphSpec(numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L)
+      val files = CodeTable.generate(s, spec)
+      CodeTable.extractEdges(files)
+        .join(files.select(col("fileId").as("src"), col("lang")), Seq("src"))
+        .groupBy("lang").agg(count(lit(1)).as("n_edges"))
+        .orderBy("lang")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_topk" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+
+    "q_window" ->
+      """SELECT user_id, rn, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q_degree_topk" ->
+      s"""WITH $edgesSql,
+        |outd AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+        |ind AS (SELECT dst AS id, count(*) AS idg FROM edges GROUP BY dst)
+        |SELECT c_custkey AS id,
+        |  coalesce(od, 0) AS out_deg, coalesce(idg, 0) AS in_deg,
+        |  coalesce(od, 0) + coalesce(idg, 0) AS deg
+        |FROM customer LEFT JOIN outd ON c_custkey = outd.id
+        |LEFT JOIN ind ON c_custkey = ind.id
+        |ORDER BY deg DESC, id LIMIT 20""".stripMargin,
+
+    "q_triangles" ->
+      s"""WITH $edgesSql,
+        |und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        |canon AS (SELECT DISTINCT least(a,b) AS a, greatest(a,b) AS b FROM und WHERE a <> b)
+        |SELECT count(*) AS triangles
+        |FROM canon e1 JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+        |JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+
+    "q_wcc" ->
+      s"""WITH RECURSIVE $edgesSql,
+        |und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        |reach(id, r) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a)
+        |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_scc" ->
+      s"""WITH RECURSIVE $edgesSql,
+        |reach(a, b) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT reach.a, edges.dst FROM reach JOIN edges ON reach.b = edges.src)
+        |SELECT r1.a AS id, min(r1.b) AS comp
+        |FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        |GROUP BY r1.a ORDER BY id""".stripMargin,
+
+    "q_scc_accepted" ->
+      s"""WITH RECURSIVE $edgesSql,
+        |reach(a, b) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT reach.a, edges.dst FROM reach JOIN edges ON reach.b = edges.src),
+        |comp AS (
+        |  SELECT r1.a AS id, min(r1.b) AS comp
+        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a GROUP BY r1.a),
+        |stats AS (
+        |  SELECT comp, count(*) AS sz,
+        |    min(CASE WHEN id % 5 < 2 THEN 1 ELSE 0 END) AS allu
+        |  FROM comp GROUP BY comp),
+        |killed AS (
+        |  SELECT DISTINCT cd.comp
+        |  FROM edges e JOIN comp cs ON e.src = cs.id JOIN comp cd ON e.dst = cd.id
+        |  WHERE cs.id % 5 < 2 AND cs.comp <> cd.comp)
+        |SELECT c.id, c.comp,
+        |  CASE WHEN s.sz >= 2 AND s.allu = 1 AND k.comp IS NULL THEN 1 ELSE 0 END AS accepted
+        |FROM comp c JOIN stats s USING(comp) LEFT JOIN killed k USING(comp)
+        |ORDER BY c.id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH keyed AS (SELECT doc_id, md5(text) AS key FROM documents),
+        |grp AS (SELECT key, min(doc_id) AS group_id, count(*) AS group_size
+        |        FROM keyed GROUP BY key)
+        |SELECT doc_id, group_id, group_size,
+        |  CASE WHEN doc_id = group_id THEN 1 ELSE 0 END AS is_canonical
+        |FROM keyed JOIN grp USING(key) ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks)-1),
+        |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 20)),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |    len(list_intersect(l.sh, r.sh)) AS inter,
+        |    len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS uni
+        |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id)
+        |SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
+        |FROM pairs WHERE uni > 0 AND inter > 0 ORDER BY a, b""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)) AS n_tokens,
+        |  round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that',
+        |                        'for','on','with','as','was','at','by','be','this'], t))) * 1.0 /
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)), 6)
+        |    AS stopword_ratio,
+        |  round(list_sum(list_transform(
+        |      list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0),
+        |      t -> len(t))) * 1.0 /
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)), 6)
+        |    AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, sid, count(*) AS n, sum(value) AS total
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+        |  round(sum(total), 4) AS total_value
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -52,8 +52,12 @@ object PageRank {
 
     val harness = new Superstep(spark, "pagerank", snapshotDir)
     val (converged, metrics) = harness.run(state0, maxIter) { (state, _) =>
-      val dangling = state.filter(col("outDeg") === 0)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      // Dangling mass rides the plan as a broadcast 1-row aggregate —
+      // folding it in keeps each superstep at ONE driver action (the
+      // changed-count), not two; a scalar `.head()` here would double the
+      // job count per iteration.
+      val danglingDf = state.filter(col("outDeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("danglingMass"))
 
       val contribs = state
         .join(edgesBySrc, state("id") === edgesBySrc("src"))
@@ -63,11 +67,12 @@ object PageRank {
       state
         .select(col("id"), col("outDeg"), col("rank").as("prevRank"))
         .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(danglingDf))
         .select(
           col("id"),
           col("outDeg"),
           (lit((1.0 - alpha) / n) +
-            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
+            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) + col("danglingMass") / n))
             .as("rank"),
           col("prevRank"))
         .withColumn("changed", abs(col("rank") - col("prevRank")) > tol)

@@ -257,7 +257,11 @@ object Scc {
               (col("bw") || coalesce(col("mBw"), lit(false))).as("bw"),
               (!col("fw") && coalesce(col("mFw"), lit(false))).as("fwNew"),
               (!col("bw") && coalesce(col("mBw"), lit(false))).as("bwNew"))
-        } { st => st.filter(col("fwNew") || col("bwNew")).count() }
+        } { st =>
+          val c = st.filter(col("fwNew") || col("bwNew")).count()
+          graft.Log.v(s"scc round $round bfs step: $c newly visited")
+          c
+        }
         arena.release(live)
         bfsSteps = bfsMetrics.size
 
