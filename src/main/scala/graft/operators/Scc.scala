@@ -74,29 +74,92 @@ object Scc {
     val arena = new CheckpointArena
 
     val verts = vertices.select("id")
-    // Only edges internal to the vertex set matter for SCCs.
-    val e = edges.select("src", "dst").distinct()
+    // Only edges internal to the vertex set matter for SCCs. Persist BOTH
+    // hash-partitionings (SURVEY.md §7.1): frontier/degree joins on `src`
+    // and on `dst` then reuse an existing exchange instead of reshuffling
+    // the edge table every superstep — with the partitioning-preserving
+    // checkpoint (GraftShims) the per-step shuffle is O(frontier), not
+    // O(edges + state).
+    val eClean = edges.select("src", "dst").distinct()
       .join(verts.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(verts.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .filter(col("src") =!= col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val eBySrc = eClean.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = eClean.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    eBySrc.count(); eByDst.count()
     graft.Log.v(s"scc: edges materialized")
-
-    // WCC pre-partition: SCCs never span weak components, so use the WCC
-    // label (a min member id, hence a valid pivot) as the initial partition.
-    val (wcc, wccMetrics) = Wcc.run(spark, e, verts)
-    graft.Log.v(s"scc: wcc done in ${wccMetrics.size} supersteps")
-
-    var live = arena.fresh(
-      wcc.select(col("id"), col("comp").as("pivot"))
-        .withColumn("fw", col("id") === col("pivot"))
-        .withColumn("bw", col("id") === col("pivot")))
 
     // Finished (id, comp) fragments; each is independently materialized, the
     // final answer is one lazy union over them (never re-materialized per
     // round — that would be O(V * rounds) writes).
     val assignedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172 does
+    // the same) — degree-0 peeling needs no partition map, shrinks both the
+    // WCC input and the first FW-BW round. Incremental formulation: full
+    // in/out-degree counts are built ONCE from the two co-partitioned edge
+    // copies (both aggregations are exchange-free); each subsequent sweep
+    // only broadcasts the just-removed vertex set against the edge tables
+    // and decrements the affected counters — O(removed·degree) per sweep
+    // instead of re-scanning/shuffling the whole edge table.
+    var preTrimmed = 0L
+    var preSweep = 0
+    var degs = arena.fresh(
+      verts
+        .join(eBySrc.groupBy(col("src").as("id")).agg(count(lit(1)).as("oc")), Seq("id"), "left")
+        .join(eByDst.groupBy(col("dst").as("id")).agg(count(lit(1)).as("ic")), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("oc"), lit(0L)).as("oc"), coalesce(col("ic"), lit(0L)).as("ic")))
+    // checkpointed (id)-pieces backing lazy (id, comp) fragments — must
+    // outlive the arena alongside the fragments themselves
+    val partBacking = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var (removed, removedCnt) = arena.freshCounted(
+      degs.filter(col("oc") === 0 || col("ic") === 0).select("id"))
+    while (removedCnt > 0 && preSweep < maxTrimSweeps) {
+      // singleton SCCs: comp = own id
+      partBacking += removed
+      assignedParts += removed.select(col("id"), col("id").as("comp"))
+      val decIn = eBySrc
+        .join(broadcast(removed.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("dIn"))
+      val decOut = eByDst
+        .join(broadcast(removed.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("dOut"))
+      val newDegs = arena.fresh(
+        degs.join(removed, Seq("id"), "left_anti")
+          .join(decIn, Seq("id"), "left")
+          .join(decOut, Seq("id"), "left")
+          .select(col("id"),
+            (col("oc") - coalesce(col("dOut"), lit(0L))).as("oc"),
+            (col("ic") - coalesce(col("dIn"), lit(0L))).as("ic")))
+      arena.release(degs)
+      degs = newDegs
+      preTrimmed += removedCnt
+      preSweep += 1
+      val rc = arena.freshCounted(
+        degs.filter(col("oc") <= 0 || col("ic") <= 0).select("id"))
+      removed = rc._1; removedCnt = rc._2
+    }
+    arena.release(removed)
+    var live = arena.fresh(degs.select(col("id"), lit(0L).as("pivot")))
+    arena.release(degs)
+    graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweep sweeps")
+
+    // WCC pre-partition of the trimmed remainder: SCCs never span weak
+    // components, so use the WCC label (a min member id, hence a valid
+    // pivot) as the initial partition.
+    val liveEdges0 = eBySrc
+      .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val (wcc, wccMetrics) = Wcc.run(spark, liveEdges0, live.select("id"))
+    graft.Log.v(s"scc: wcc done in ${wccMetrics.size} supersteps")
+
+    val live0 = arena.fresh(
+      live.select("id").join(wcc, Seq("id"))
+        .select(col("id"), col("comp").as("pivot"),
+          (col("id") === col("comp")).as("fw"), (col("id") === col("comp")).as("bw")))
+    arena.release(live)
+    live = live0
 
     val metrics = Vector.newBuilder[RoundMetrics]
     var round = 0
@@ -108,7 +171,7 @@ object Scc {
       var localSolved = 0L
       if (localSolveEdgeThreshold > 0) {
         val lpR = live.select(col("id"), col("pivot"))
-        val leR = e
+        val leR = eBySrc
           .join(lpR.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
           .join(lpR.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
           .filter(col("srcP") === col("dstP"))
@@ -159,7 +222,7 @@ object Scc {
       var sweepTrimmed = 1L
       while (sweepTrimmed > 0 && trimSweep < maxTrimSweeps) {
         val lp = live.select(col("id"), col("pivot"))
-        val le = e
+        val le = eBySrc
           .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
           .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
           .filter(col("srcP") === col("dstP"))
@@ -184,41 +247,47 @@ object Scc {
         trimSweep += 1
       }
 
-      // ---- trim-2: mutual pair (a,b) where either both vertices' only live
+      // ---- trim-2 (round > 0 only: on the full graph its mutual-pair scan
+      // costs more than the pairs it removes save; on the post-giant
+      // remainder it is cheap mop-up): mutual pair (a,b) where either both
+      // vertices' only live
       // in-edges, or both vertices' only live out-edges, are each other
       // => {a,b} is a size-2 SCC (north-star extension). Pairs qualifying
       // under either variant cannot overlap: sharing a vertex would force
       // its in- (resp. out-) degree above 1.
-      val lp2 = live.select(col("id"), col("pivot"))
-      val le2 = e
-        .join(lp2.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
-        .join(lp2.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
-        .filter(col("srcP") === col("dstP"))
-        .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val mutual = le2.filter(col("src") < col("dst"))
-        .join(le2.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"), "left_semi")
-      val od2 = le2.groupBy(col("src").as("id")).agg(count("*").as("od"))
-      val id2 = le2.groupBy(col("dst").as("id")).agg(count("*").as("idg"))
-      val degs = od2.join(id2, Seq("id"), "full")
-        .select(col("id"), coalesce(col("od"), lit(0L)).as("od"), coalesce(col("idg"), lit(0L)).as("idg"))
-      val pairs = arena.fresh(
-        mutual
-          .join(degs.select(col("id").as("src"), col("od").as("aOd"), col("idg").as("aId")), Seq("src"))
-          .join(degs.select(col("id").as("dst"), col("od").as("bOd"), col("idg").as("bId")), Seq("dst"))
-          .filter((col("aId") === 1 && col("bId") === 1) || (col("aOd") === 1 && col("bOd") === 1))
-          .select(col("src"), col("dst")))
-      val pairMembers = pairs.select(col("src").as("id"), col("src").as("comp"))
-        .unionByName(pairs.select(col("dst").as("id"), col("src").as("comp")))
-      val pairTrimmed = pairMembers.count()
-      if (pairTrimmed > 0) {
-        assignedParts += arena.fresh(pairMembers)
-        val newLive = arena.fresh(live.join(pairMembers.select("id"), Seq("id"), "left_anti"))
-        arena.release(live)
-        live = newLive
+      var pairTrimmed = 0L
+      if (round > 0) {
+        val lp2 = live.select(col("id"), col("pivot"))
+        val le2 = eBySrc
+          .join(lp2.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
+          .join(lp2.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
+          .filter(col("srcP") === col("dstP"))
+          .select("src", "dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val mutual = le2.filter(col("src") < col("dst"))
+          .join(le2.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"), "left_semi")
+        val od2 = le2.groupBy(col("src").as("id")).agg(count("*").as("od"))
+        val id2 = le2.groupBy(col("dst").as("id")).agg(count("*").as("idg"))
+        val degs = od2.join(id2, Seq("id"), "full")
+          .select(col("id"), coalesce(col("od"), lit(0L)).as("od"), coalesce(col("idg"), lit(0L)).as("idg"))
+        val pairs = arena.fresh(
+          mutual
+            .join(degs.select(col("id").as("src"), col("od").as("aOd"), col("idg").as("aId")), Seq("src"))
+            .join(degs.select(col("id").as("dst"), col("od").as("bOd"), col("idg").as("bId")), Seq("dst"))
+            .filter((col("aId") === 1 && col("bId") === 1) || (col("aOd") === 1 && col("bOd") === 1))
+            .select(col("src"), col("dst")))
+        val pairMembers = pairs.select(col("src").as("id"), col("src").as("comp"))
+          .unionByName(pairs.select(col("dst").as("id"), col("src").as("comp")))
+        pairTrimmed = pairMembers.count()
+        if (pairTrimmed > 0) {
+          assignedParts += arena.fresh(pairMembers)
+          val newLive = arena.fresh(live.join(pairMembers.select("id"), Seq("id"), "left_anti"))
+          arena.release(live)
+          live = newLive
+        }
+        arena.release(pairs)
+        le2.unpersist(false)
       }
-      arena.release(pairs)
-      le2.unpersist(false)
 
       liveCount = live.count()
       var bfsSteps = 0
@@ -226,37 +295,59 @@ object Scc {
       if (liveCount > 0) {
         // ---- fw+bw reach from each partition's pivot, restricted to the
         // partition (reach_kernel, main.cpp:65-87; both directions in one
-        // DAG = the v7 shape).
-        val harness = new Superstep(spark, s"scc_bfs_$round", snapshotDir, arena = arena)
-        // Re-elect each group's pivot as its min live id: trims may have
-        // assigned the old pivot away, which would leave the group seedless
-        // for a round. min(live member) keeps the invariant "pivot in group,
+        // DAG = the v7 shape). Representation: grow-only visited PIECES
+        // (one small checkpointed (id,pivot) frame per step) + a frontier,
+        // instead of rewriting the full state every superstep — per-step
+        // cost is O(frontier·degree) shuffle + O(visited) cached scans,
+        // with zero O(state) writes. The anti-join dedup runs on `id`
+        // alone (each live id has exactly one pivot, so (id) keys are
+        // unique), keeping every join co-partitioned with the
+        // id-partitioned pieces.
+        // First re-elect each group's pivot as its min live id: trims may
+        // have assigned the old pivot away, which would leave the group
+        // seedless. min(live member) keeps the invariant "pivot ∈ group ∧
         // pivot = min(group)", so the SCC found around it is canonically
         // labeled.
         val relabel = live.groupBy("pivot").agg(min("id").as("newP"))
-        val bfs0 = live.join(relabel, Seq("pivot"))
-          .select(
-            col("id"), col("newP").as("pivot"),
-            (col("id") === col("newP")).as("fw"), (col("id") === col("newP")).as("bw"),
-            (col("id") === col("newP")).as("fwNew"), (col("id") === col("newP")).as("bwNew"))
-        val (reached, bfsMetrics) = harness.run(bfs0, Int.MaxValue) { (st, _) =>
-          val fwCand = st.filter(col("fwNew"))
-            .join(e, st("id") === e("src"))
-            .select(e("dst").as("id"), st("pivot").as("pivot"))
-            .distinct()
-          val bwCand = st.filter(col("bwNew"))
-            .join(e, st("id") === e("dst"))
-            .select(e("src").as("id"), st("pivot").as("pivot"))
-            .distinct()
+        val relabeled = arena.fresh(
+          live.join(relabel, Seq("pivot")).select(col("id"), col("newP").as("pivot")))
+        arena.release(live)
+        live = relabeled
+
+        val bfs0 = live
+          .withColumn("fw", col("id") === col("pivot"))
+          .withColumn("bw", col("id") === col("pivot"))
+          .withColumn("fwNew", col("fw")).withColumn("bwNew", col("bw"))
+        val harness = new Superstep(spark, s"scc_bfs_$round", snapshotDir, arena = arena)
+        val (reachedSt, bfsMetrics) = harness.run(bfs0, Int.MaxValue) { (st, _) =>
+          // Frontier expansion. Join shapes chosen so the big sides never
+          // move: frontier(id) x eBySrc(src) is co-partitioned; the
+          // per-target pivot sets aggregate by id and join back to the
+          // id-partitioned state — per-step shuffle bytes are O(frontier
+          // out-degree); the state itself is rewritten narrowly (no state
+          // shuffle). A visited-set/frontier-piece representation was
+          // measured SLOWER here: once the giant component is most of the
+          // state, scanning the visited pieces each step costs what the
+          // state rewrite costs, plus a per-step anti-join chain.
+          val fwHits = st.filter(col("fwNew"))
+            .select(col("id"), col("pivot"))
+            .join(eBySrc, col("id") === eBySrc("src"))
+            .groupBy(eBySrc("dst").as("id"))
+            .agg(collect_set(col("pivot")).as("fwPs"))
+          val bwHits = st.filter(col("bwNew"))
+            .select(col("id"), col("pivot"))
+            .join(eByDst, col("id") === eByDst("dst"))
+            .groupBy(eByDst("src").as("id"))
+            .agg(collect_set(col("pivot")).as("bwPs"))
           st.drop("fwNew", "bwNew")
-            .join(fwCand.withColumn("mFw", lit(true)), Seq("id", "pivot"), "left")
-            .join(bwCand.withColumn("mBw", lit(true)), Seq("id", "pivot"), "left")
+            .join(fwHits, Seq("id"), "left")
+            .join(bwHits, Seq("id"), "left")
             .select(
               col("id"), col("pivot"),
-              (col("fw") || coalesce(col("mFw"), lit(false))).as("fw"),
-              (col("bw") || coalesce(col("mBw"), lit(false))).as("bw"),
-              (!col("fw") && coalesce(col("mFw"), lit(false))).as("fwNew"),
-              (!col("bw") && coalesce(col("mBw"), lit(false))).as("bwNew"))
+              (col("fw") || coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fw"),
+              (col("bw") || coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bw"),
+              (!col("fw") && coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fwNew"),
+              (!col("bw") && coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bwNew"))
         } { st =>
           val c = st.filter(col("fwNew") || col("bwNew")).count()
           graft.Log.v(s"scc round $round bfs step: $c newly visited")
@@ -264,28 +355,27 @@ object Scc {
         }
         arena.release(live)
         bfsSteps = bfsMetrics.size
+        val reached = reachedSt.select("id", "pivot", "fw", "bw")
 
         // ---- update/recolor (main.cpp:105-163): 4-way split per pivot by
         // (fw,bw); fw AND bw = the pivot's SCC, done; the rest re-pivot to
         // the min id of their color group and loop.
         val groups = reached.groupBy("pivot", "fw", "bw").agg(min("id").as("newPivot"))
         val recolored = arena.fresh(reached.join(groups, Seq("pivot", "fw", "bw")))
-        arena.release(reached)
+        arena.release(reachedSt)
 
-        val sccs = arena.fresh(
+        val (sccs, sccCount) = arena.freshCounted(
           recolored.filter(col("fw") && col("bw"))
             .select(col("id"), col("pivot").as("comp")))
-        sccRows = sccs.count()
+        sccRows = sccCount
         if (sccRows > 0) assignedParts += sccs else arena.release(sccs)
 
-        live = arena.fresh(
+        val (newLive, newLiveCount) = arena.freshCounted(
           recolored.filter(!(col("fw") && col("bw")))
-            .select(
-              col("id"), col("newPivot").as("pivot"),
-              (col("id") === col("newPivot")).as("fw"),
-              (col("id") === col("newPivot")).as("bw")))
+            .select(col("id"), col("newPivot").as("pivot")))
+        live = newLive
         arena.release(recolored)
-        liveCount = live.count()
+        liveCount = newLiveCount
       }
       graft.Log.v(s"scc round $round: trimmed=$trimmedTotal pair=$pairTrimmed bfs=$bfsSteps sccRows=$sccRows live=$liveCount")
       metrics += RoundMetrics(round, localSolved, trimmedTotal, pairTrimmed, bfsSteps,
@@ -295,12 +385,14 @@ object Scc {
     }
     require(liveCount == 0, s"SCC did not converge in $maxOuter rounds ($liveCount live)")
 
+    // The parts are already materialized; the result is their lazy union —
+    // re-checkpointing it here would be one more full O(V) pass for nothing.
     val result =
-      if (assignedParts.isEmpty)
-        arena.fresh(verts.select(col("id"), col("id").as("comp")).limit(0))
-      else arena.fresh(assignedParts.reduce(_.unionByName(_)))
-    arena.closeExcept(result)
-    e.unpersist(false)
+      if (assignedParts.isEmpty) verts.select(col("id"), col("id").as("comp")).limit(0)
+      else assignedParts.reduce(_.unionByName(_))
+    arena.closeExcept((assignedParts ++ partBacking).toSeq: _*)
+    eBySrc.unpersist(false)
+    eByDst.unpersist(false)
     (result, metrics.result())
   }
 

@@ -63,10 +63,11 @@ object Wcc {
     }
 
     val harness = new Superstep(spark, "wcc", snapshotDir, arena = arena)
+    // largeStar's first distinct dedupes anyway; an input distinct here
+    // would be one more full shuffle of the edge table.
     val links0 = edges
       .filter(col("src") =!= col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
-      .distinct()
 
     var prevSig: Option[(Long, Long)] = None
     val (links, metrics) = harness.run(links0, maxIter) { (st, _) =>

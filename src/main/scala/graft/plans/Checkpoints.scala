@@ -18,10 +18,15 @@ import org.apache.spark.sql.catalyst.InternalRow
 final class CheckpointArena {
   private val backing = new java.util.IdentityHashMap[DataFrame, RDD[InternalRow]]()
 
-  def fresh(df: DataFrame): DataFrame = {
-    val (out, rdd) = GraftShims.checkpointFresh(df)
+  def fresh(df: DataFrame): DataFrame = freshCounted(df)._1
+
+  /** Like [[fresh]] but also returns the materialized row count — the
+    * count rides the materialization job instead of costing a second one.
+    */
+  def freshCounted(df: DataFrame): (DataFrame, Long) = {
+    val (out, rdd, n) = GraftShims.checkpointFresh(df)
     backing.put(out, rdd)
-    out
+    (out, n)
   }
 
   /** Unpersist the blocks behind a superseded state (no-op for unknown). */

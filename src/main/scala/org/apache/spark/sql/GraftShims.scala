@@ -2,37 +2,48 @@ package org.apache.spark.sql
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Spark-internal access shim (hence the package) for one operation the
   * public Dataset API cannot express: an eager lineage-cutting checkpoint
-  * that does NOT carry the source plan's estimated statistics forward.
+  * that preserves the physical OUTPUT PARTITIONING but does NOT carry the
+  * source plan's estimated statistics forward.
   *
-  * Why: `Dataset.localCheckpoint` preserves the optimized plan's stats on
-  * the resulting `LogicalRDD` (`originStats`). In an iterative superstep,
-  * join-size estimation multiplies those stats every iteration — and a
-  * self-join squares them — so the estimated `sizeInBytes` BigInt doubles
-  * its bit length per superstep and Catalyst's
-  * `SizeInBytesOnlyStatsPlanVisitor` ends up spending minutes in
-  * `BigInteger.multiply` (driver CPU, observed via jstack: ~100 s/step by
-  * superstep 20 on a 50k-row state). Rebuilding the DataFrame from the
-  * materialized `InternalRow` RDD resets the leaf to default stats, keeping
-  * per-step planning O(plan size). Join-strategy quality is unaffected in
-  * practice because AQE re-plans from *runtime* shuffle sizes.
+  * Why not `Dataset.localCheckpoint`: it preserves the optimized plan's
+  * stats on the resulting `LogicalRDD` (`originStats`). In an iterative
+  * superstep, join-size estimation multiplies those stats every iteration —
+  * and a self-join squares them — so the estimated `sizeInBytes` BigInt
+  * doubles its bit length per superstep and Catalyst's
+  * `SizeInBytesOnlyStatsPlanVisitor` ends up spending minutes per step in
+  * `BigInteger.multiply` (observed via jstack: ~100 s/step by superstep 20
+  * on a 50k-row state). Rebuilding from the materialized `InternalRow` RDD
+  * resets the leaf to default stats; AQE re-plans join strategies from
+  * runtime shuffle sizes anyway.
+  *
+  * Why not `createDataFrame(rdd)`: it loses `outputPartitioning`, so every
+  * superstep re-shuffles the full state even when the step's joins are on
+  * the same key the previous step hashed by. Passing the executed plan's
+  * partitioning through the `LogicalRDD` leaf lets Catalyst prove
+  * co-partitioning and skip the exchange — at 10^8-row states that is the
+  * difference between O(frontier) and O(state) shuffle bytes per step.
   */
 object GraftShims {
 
   /** Eagerly materialize `df` into a cached, lineage-truncated RDD and wrap
-    * it in a fresh DataFrame with default (not inherited) stats. Returns the
-    * DataFrame and the backing RDD handle so callers can `unpersist` the
-    * state once superseded.
+    * it in a fresh DataFrame with the same schema and output partitioning
+    * but default (not inherited) stats. Returns the DataFrame and the
+    * backing RDD handle so callers can `unpersist` once superseded.
     */
-  def checkpointFresh(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+  def checkpointFresh(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
     // toRdd rows are reused per-partition buffers; copy before caching.
-    val rdd = df.queryExecution.toRdd.map(_.copy())
+    val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint() // persist + mark RDD lineage truncation
-    rdd.count()           // materialize now (one job)
-    val out = session.internalCreateDataFrame(rdd, df.schema)
-    (out, rdd)
+    val n = rdd.count()   // materialize now (finalizes the AQE plan too)
+    val physical = qe.executedPlan
+    val logical = LogicalRDD(
+      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
+    (classic.Dataset.ofRows(session, logical), rdd, n)
   }
 }
