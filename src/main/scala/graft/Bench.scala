@@ -29,8 +29,13 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** One SCC + PageRank measurement at a given core count. */
-  private def graphRun(cores: Int, spec: GraphSpec): (Double, Double, Long) = {
+  /** SCC + PageRank measurement at a given core count: `repeat` timed runs
+    * each, best-of taken — the reference's own warmup+repeat protocol
+    * (scc_runner.cu:29-48), which is also the right answer to this
+    * sandbox's noisy-neighbor variance (identical runs measured 2.4x
+    * apart).
+    */
+  private def graphRun(cores: Int, spec: GraphSpec, repeat: Int = 2): (Double, Double, Long) = {
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("ERROR")
     try {
@@ -39,14 +44,18 @@ object Bench {
       val numEdges = edges.count() // warmup + materialize input (load excluded from timing)
       val vertices = GraphGen.vertices(spark, spec)
 
-      val (_, sccSec) = timed {
-        val (comp, _) = Scc.components(spark, edges, vertices)
-        comp.count()
-      }
-      val (_, prSec) = timed {
-        val (ranks, _) = PageRank.run(spark, edges, vertices, tol = 0.0, maxIter = 10)
-        ranks.count()
-      }
+      val sccSec = (0 until repeat).map { _ =>
+        timed {
+          val (comp, _) = Scc.components(spark, edges, vertices)
+          comp.count()
+        }._2
+      }.min
+      val prSec = (0 until repeat).map { _ =>
+        timed {
+          val (ranks, _) = PageRank.run(spark, edges, vertices, tol = 0.0, maxIter = 10)
+          ranks.count()
+        }._2
+      }.min
       edges.unpersist(false)
       (sccSec, prSec, numEdges)
     } finally {

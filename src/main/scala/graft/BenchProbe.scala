@@ -16,10 +16,18 @@ object BenchProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = edges.count()
     val t0 = System.nanoTime()
-    val (comp, metrics) = Scc.components(spark, edges, GraphGen.vertices(spark, spec))
-    val cnt = comp.count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f tput=${m / sec}%.0f e/s rounds=${metrics.size}")
+    if (args.length > 2 && args(2) == "pr") {
+      val (ranks, _) = graft.operators.PageRank.run(
+        spark, edges, GraphGen.vertices(spark, spec), tol = 0.0, maxIter = 10)
+      val cnt = ranks.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PR cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f iters_per_sec=${10 / sec}%.3f")
+    } else {
+      val (comp, metrics) = Scc.components(spark, edges, GraphGen.vertices(spark, spec))
+      val cnt = comp.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f tput=${m / sec}%.0f e/s rounds=${metrics.size}")
+    }
     spark.stop()
   }
 }

@@ -10,12 +10,13 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(cores: Int, shufflePartitions: Option[Int] = None): SparkSession = {
     val sp = shufflePartitions.getOrElse(cores)
+    val aqe = !sys.env.get("GRAFT_AQE").contains("0")
     SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", sp.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

@@ -41,7 +41,15 @@ object GraftShims {
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint() // persist + mark RDD lineage truncation
     val n = rdd.count()   // materialize now (finalizes the AQE plan too)
-    val physical = qe.executedPlan
+    // AdaptiveSparkPlanExec reports UnknownPartitioning at the top even
+    // after finalization — unwrap to the final physical plan or the
+    // partitioning is silently lost and every downstream same-key join
+    // re-exchanges the state (caught by PlanSpec).
+    val physical = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
     val logical = LogicalRDD(
       physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
     (classic.Dataset.ofRows(session, logical), rdd, n)
