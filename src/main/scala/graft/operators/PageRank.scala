@@ -51,7 +51,8 @@ object PageRank {
       lit(true).as("changed"))
 
     val harness = new Superstep(spark, "pagerank", snapshotDir)
-    val (converged, metrics) = harness.run(state0, maxIter) { (state, _) =>
+    val (converged, metrics) = harness.run(state0, maxIter, changedCol = Some("changed")) {
+      (state, _) =>
       // Dangling mass rides the plan as a broadcast 1-row aggregate —
       // folding it in keeps each superstep at ONE driver action (the
       // changed-count), not two; a scalar `.head()` here would double the
@@ -77,7 +78,7 @@ object PageRank {
           col("prevRank"))
         .withColumn("changed", abs(col("rank") - col("prevRank")) > tol)
         .drop("prevRank")
-    } { next => next.filter(col("changed")).count() }
+    } { _ => 0L }
 
     verts.unpersist(false)
     edgesBySrc.unpersist(false)

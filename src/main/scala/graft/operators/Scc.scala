@@ -318,8 +318,10 @@ object Scc {
           .withColumn("fw", col("id") === col("pivot"))
           .withColumn("bw", col("id") === col("pivot"))
           .withColumn("fwNew", col("fw")).withColumn("bwNew", col("bw"))
+          .withColumn("anyNew", col("fw"))
         val harness = new Superstep(spark, s"scc_bfs_$round", snapshotDir, arena = arena)
-        val (reachedSt, bfsMetrics) = harness.run(bfs0, Int.MaxValue) { (st, _) =>
+        val (reachedSt, bfsMetrics) = harness.run(
+          bfs0, Int.MaxValue, changedCol = Some("anyNew")) { (st, _) =>
           // Frontier expansion. Join shapes chosen so the big sides never
           // move: frontier(id) x eBySrc(src) is co-partitioned; the
           // per-target pivot sets aggregate by id and join back to the
@@ -348,11 +350,8 @@ object Scc {
               (col("bw") || coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bw"),
               (!col("fw") && coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fwNew"),
               (!col("bw") && coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bwNew"))
-        } { st =>
-          val c = st.filter(col("fwNew") || col("bwNew")).count()
-          graft.Log.v(s"scc round $round bfs step: $c newly visited")
-          c
-        }
+            .withColumn("anyNew", col("fwNew") || col("bwNew"))
+        } { _ => 0L }
         arena.release(live)
         bfsSteps = bfsMetrics.size
         val reached = reachedSt.select("id", "pivot", "fw", "bw")

@@ -29,6 +29,15 @@ final class CheckpointArena {
     (out, n)
   }
 
+  /** [[freshCounted]] that also counts rows with boolean `flagCol` true in
+    * the same materialization pass: (frame, totalRows, flaggedRows).
+    */
+  def freshFlagged(df: DataFrame, flagCol: String): (DataFrame, Long, Long) = {
+    val (out, rdd, n, flagged) = GraftShims.checkpointFreshFlagged(df, flagCol)
+    backing.put(out, rdd)
+    (out, n, flagged)
+  }
+
   /** Unpersist the blocks behind a superseded state (no-op for unknown). */
   def release(df: DataFrame): Unit = {
     val rdd = backing.remove(df)

@@ -38,7 +38,8 @@ final class Superstep(
     * already-checkpointed state so its scan is cheap and never recomputes the
     * step. Returns the converged state and per-iteration metrics.
     */
-  def run(state0: DataFrame, maxIter: Int, startIter: Int = 0)(
+  def run(state0: DataFrame, maxIter: Int, startIter: Int = 0,
+      changedCol: Option[String] = None)(
       step: (DataFrame, Int) => DataFrame)(
       changedOf: DataFrame => Long): (DataFrame, Vector[StepMetrics]) = {
     var state = arena.fresh(state0)
@@ -47,8 +48,19 @@ final class Superstep(
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
-      val next = arena.fresh(step(state, iter))
-      changed = changedOf(next)
+      // When the step exposes a boolean changed-flag column, the convergence
+      // count rides the checkpoint materialization (accumulator) — one
+      // driver action per superstep instead of two.
+      val next = changedCol match {
+        case Some(c) =>
+          val (n, _, flagged) = arena.freshFlagged(step(state, iter), c)
+          changed = flagged
+          n
+        case None =>
+          val n = arena.fresh(step(state, iter))
+          changed = changedOf(n)
+          n
+      }
       arena.release(state)
       state = next
       val wallMs = (System.nanoTime() - t0) / 1000000

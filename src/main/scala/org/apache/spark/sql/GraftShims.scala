@@ -34,6 +34,34 @@ object GraftShims {
     * but default (not inherited) stats. Returns the DataFrame and the
     * backing RDD handle so callers can `unpersist` once superseded.
     */
+  /** [[checkpointFresh]] that additionally counts rows whose boolean column
+    * `flagCol` is true, DURING the materialization pass (via accumulator) —
+    * an iterative algorithm's convergence check then costs zero extra jobs
+    * instead of one count-job per superstep. Returns
+    * (frame, rdd, totalRows, flaggedRows).
+    */
+  def checkpointFreshFlagged(
+      df: DataFrame, flagCol: String): (DataFrame, RDD[InternalRow], Long, Long) = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    val idx = df.schema.fieldIndex(flagCol)
+    val acc = session.sparkContext.longAccumulator(s"graft.flagged.$flagCol")
+    val rdd = qe.toRdd.map { r =>
+      if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1L)
+      r.copy()
+    }
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val physical = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+    val logical = LogicalRDD(
+      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
+    (classic.Dataset.ofRows(session, logical), rdd, n, acc.value)
+  }
+
   def checkpointFresh(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val qe = df.queryExecution
