@@ -74,11 +74,14 @@ object Bench {
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warmup discarded
+    // Timing action is a noop-format write: full evaluation of every column
+    // and the final sort — `.count()` would let Catalyst prune the
+    // projections of projection-only queries and time a row count instead
+    // of the operators. Failed queries report -1 (never a fake wall time).
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      }
+      val sec =
+        try timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())._2
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
       name -> sec
     }
     spark.stop()

@@ -28,9 +28,16 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // customer-count cache: derivedEdges needs |V| as a literal (the oracle
+  // SQL embeds the same scalar subquery); without the cache every query
+  // CONSTRUCTION paid a full-scan driver action before the timed plan ran.
+  private val nCustomerCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   /** Derived edge table (src, dst) over customer vertices. */
   private def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val n = t(spark, dir, "customer").count()
+    val n = nCustomerCache.getOrElseUpdate((spark, dir),
+      t(spark, dir, "customer").count())
     t(spark, dir, "orders")
       .filter(col("o_orderkey") % 7 === 0)
       .select(col("o_custkey").as("src"), ((col("o_orderkey") * 17) % n).as("dst"))
@@ -133,10 +140,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    // ---- graph: PageRank (no ANSI-SQL oracle; rows-only check) ----
+    // ---- graph: PageRank, FIXED 20 iterations so the DuckDB oracle (an
+    // unrolled 20-step iteration) computes the identical sequence; ranks
+    // rounded to 6 dp BEFORE ranking so cross-engine float-sum order can't
+    // flip the ordering ----
     "q_pagerank_topk" -> ((s, d) =>
-      PageRank.run(s, derivedEdges(s, d), customerVertices(s, d))._1
-        .select(col("id"), round(col("rank"), 8).as("rank"))
+      PageRank.run(s, derivedEdges(s, d), customerVertices(s, d),
+        tol = 0.0, maxIter = 20)._1
+        .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("id"))
         .limit(20)),
 
@@ -160,20 +171,27 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
-    // ---- dedup: MinHash LSH near-dup pairs (rows-only: hash family is
-    // engine-specific) ----
+    // ---- dedup: MinHash LSH near-dup pairs. Output contract: all pairs
+    // with exact shingle-Jaccard ≥ 0.8 (precision 1 because candidates are
+    // verified with exact Jaccard; recall is 1 − (1−j²)^16 ≥ 1 − 8e-8 at
+    // j = 0.8, so the DuckDB all-pairs oracle is expected to match
+    // hash-exactly) ----
     "q_minhash_dups" -> ((s, d) =>
       Dedup.minhashDuplicates(t(s, d, "documents"), col("doc_id"), col("text"),
-        threshold = 0.2)
+        bands = 16, rowsPerBand = 2, threshold = 0.8)
         .orderBy("a", "b")),
 
-    // ---- dedup: SimHash near-dup pairs (rows-only) ----
+    // ---- dedup: SimHash near-dup pairs (rows-only: xxhash64-based
+    // signature is engine-specific). maxDistance=6 → 7-chunk pigeonhole
+    // bucketing with guaranteed recall 1 for d ≤ 6 (Dedup.simhashDuplicates).
     "q_simhash_dups" -> ((s, d) =>
       Dedup.simhashDuplicates(t(s, d, "documents"), col("doc_id"), col("text"),
-        maxDistance = 16)
+        maxDistance = 6)
         .orderBy("a", "b")),
 
-    // ---- dedup: embedding cosine near-dup pairs ----
+    // ---- dedup: embedding cosine near-dup pairs (EXACT via the blocked
+    // equi-join all-pairs — oracle-able; the approximate LSH variant is
+    // exercised in tests on clustered fixtures where LSH is meaningful) ----
     "q_embedding_dups" -> ((s, d) =>
       Dedup.embeddingDuplicates(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.5)
@@ -207,12 +225,23 @@ object SparkEntry {
         round(TextAnalysis.meanTokenLen(col("text")), 6).as("mean_token_len"))
         .orderBy("doc_id")),
 
-    // ---- text analysis: quality + language id (rows-only: heuristic) ----
+    // ---- text analysis: quality score + language id + subword count —
+    // all pure deterministic arithmetic/regex, fully oracled ----
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")),
+
+    // ---- text analysis: content fingerprints (rows-only: xxhash64-based,
+    // engine-specific by nature; invariants tested in PipelineSpec) ----
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
@@ -249,7 +278,144 @@ object SparkEntry {
         .orderBy("lang")
     }))
 
+  /** DuckDB PageRank oracle: the 20-iteration recurrence unrolled as chained
+    * CTEs (portable — needs no recursive-aggregate support), mirroring
+    * [[graft.operators.PageRank.run]] term by term, with the SAME IEEE
+    * operation order (all constants forced to DOUBLE so DuckDB's DECIMAL
+    * literals can't change the arithmetic).
+    */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (0 until iters).map { k =>
+      s"""pr${k + 1} AS MATERIALIZED (
+         |  SELECT v.id,
+         |    (1.0::DOUBLE - 0.85::DOUBLE)/(SELECT n FROM nn)
+         |      + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d.mass/(SELECT n FROM nn)) AS rank
+         |  FROM verts v
+         |  LEFT JOIN (SELECT e.dst AS id, sum(p.rank / v2.od) AS contrib
+         |             FROM pr$k p JOIN verts v2 ON p.id = v2.id
+         |             JOIN edges e ON e.src = p.id
+         |             GROUP BY e.dst) c ON v.id = c.id
+         |  CROSS JOIN (SELECT coalesce(sum(p.rank), 0.0::DOUBLE) AS mass
+         |              FROM pr$k p JOIN verts v3 ON p.id = v3.id WHERE v3.od = 0) d)""".stripMargin
+    }.mkString(",\n")
+    // edges/nn/verts are MATERIALIZED: DuckDB would otherwise inline each
+    // CTE at every one of the ~60 references and re-open the parquet files
+    // each time — blowing the process fd limit on the 20-step chain.
+    val edgesMat = edgesSql.replaceFirst("edges AS \\(", "edges AS MATERIALIZED (")
+    s"""WITH $edgesMat,
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+       |odeg AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+       |verts AS MATERIALIZED (SELECT c_custkey AS id, coalesce(odeg.od, 0) AS od
+       |          FROM customer LEFT JOIN odeg ON c_custkey = odeg.id),
+       |pr0 AS (SELECT id, (SELECT 1.0::DOUBLE / n FROM nn) AS rank FROM verts),
+       |$steps
+       |SELECT id, rank FROM (SELECT id, round(rank, 6) AS rank FROM pr$iters)
+       |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank_topk" -> pagerankSql(20),
+
+    "q_minhash_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks)-1),
+        |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |    len(list_intersect(l.sh, r.sh)) AS inter,
+        |    len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS uni
+        |  FROM sh l JOIN sh r
+        |    ON l.doc_id < r.doc_id
+        |   -- exact size prefilter: jaccard >= 0.8 (= 4/5) forces
+        |   -- 5*min(|A|,|B|) >= 4*max(|A|,|B|); skips the intersect for
+        |   -- the overwhelming majority of pairs without changing results
+        |   AND len(l.sh) * 5 >= len(r.sh) * 4 AND len(r.sh) * 5 >= len(l.sh) * 4)
+        |SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
+        |FROM pairs WHERE uni > 0 AND round(inter * 1.0 / uni, 6) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    "q_embedding_dups" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+        |  FROM embeddings)
+        |SELECT a, b, cosine FROM (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    round(list_dot_product(l.e, r.e) / (l.nn * r.nn), 6) AS cosine
+        |  FROM v l JOIN v r ON l.vec_id < r.vec_id)
+        |WHERE cosine >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "q_text_quality" -> {
+      val markerList = TextAnalysis.langMarkers.map { case (lang, ms) =>
+        lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
+      }
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS toks,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS ltoks,
+        |    len(regexp_replace(text, '\\s', '', 'g')) AS non_space
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    least(len(text) / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        |    CASE WHEN non_space > 0
+        |      THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / non_space
+        |      ELSE 0.0::DOUBLE END AS alpha_r,
+        |    CASE WHEN non_space > 0
+        |      THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / non_space
+        |      ELSE 0.0::DOUBLE END AS punct_r,
+        |    CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+        |      ELSE 0.0::DOUBLE END AS word_len,
+        |    len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS n_subwords,
+        |    len(list_filter(ltoks, t -> list_contains(${markerList("de")}, t))) AS h_de,
+        |    len(list_filter(ltoks, t -> list_contains(${markerList("en")}, t))) AS h_en,
+        |    len(list_filter(ltoks, t -> list_contains(${markerList("es")}, t))) AS h_es,
+        |    len(list_filter(ltoks, t -> list_contains(${markerList("fr")}, t))) AS h_fr,
+        |    len(list_filter(ltoks, t -> list_contains(${markerList("zh")}, t))) AS h_zh
+        |  FROM base)
+        |SELECT doc_id,
+        |  round(len_score * 0.3::DOUBLE + alpha_r * 0.3::DOUBLE
+        |    + (CASE WHEN word_len >= 3 AND word_len <= 10 THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.2::DOUBLE
+        |    + (CASE WHEN punct_r < 0.2::DOUBLE THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END) * 0.2::DOUBLE, 6) AS quality,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |    WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+        |    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |    WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |    WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |    ELSE 'de' END AS lang_guess,
+        |  n_subwords,
+        |  round(alpha_r, 6) AS alpha_ratio,
+        |  round(punct_r, 6) AS punct_ratio
+        |FROM parts ORDER BY doc_id""".stripMargin
+    },
+
+    // Verify.main persists the Spark-generated code table to this fixed
+    // path before dumping queries; the oracle re-derives the edges from the
+    // SAME rows with DuckDB's own regex engine.
+    "q_import_edges" ->
+      s"""WITH files AS (
+        |  SELECT * FROM read_parquet('${Verify.auxCodeTablePath}/*.parquet')),
+        |refs AS (
+        |  SELECT fileId AS src,
+        |    unnest(regexp_extract_all(content,
+        |      CASE WHEN lang = 'c' THEN '#include "(f[0-9]{9})\\.h"'
+        |           WHEN lang = 'py' THEN 'import (f[0-9]{9})'
+        |           ELSE 'import pkg\\.(f[0-9]{9})' END, 1)) AS stem
+        |  FROM files),
+        |stems AS (
+        |  SELECT regexp_extract(path, '(f[0-9]{9})', 1) AS stem, fileId AS dst
+        |  FROM files),
+        |e2 AS (SELECT DISTINCT src, dst FROM refs JOIN stems USING (stem))
+        |SELECT f.lang, count(*) AS n_edges
+        |FROM e2 JOIN files f ON e2.src = f.fileId
+        |GROUP BY f.lang ORDER BY f.lang""".stripMargin,
+
     "q_scan_filter" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_quantity > 45 AND l_returnflag = 'R'

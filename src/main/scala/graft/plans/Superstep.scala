@@ -33,6 +33,17 @@ final class Superstep(
 
   private def manifestPath = snapshotDir.map(d => Paths.get(d, s"$name.manifest.jsonl"))
 
+  /** Minimal JSON string escape — name/snapshot paths are caller-supplied
+    * and a quote or backslash would otherwise corrupt the manifest line.
+    */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Run `step` from `state0` until `changedOf(next)` returns 0 or `maxIter`.
     * `step` must return the full next state; `changedOf` is evaluated on the
     * already-checkpointed state so its scan is cheap and never recomputes the
@@ -70,10 +81,10 @@ final class Superstep(
         val snapPath = if (snap) {
           val p = s"$dir/$name.state_$iter"
           state.write.mode("overwrite").parquet(p)
-          "\"" + p + "\""
+          jstr(p)
         } else "null"
         val line =
-          s"""{"name":"$name","iter":$iter,"changed":$changed,"wallMs":$wallMs,"snapshot":$snapPath}\n"""
+          s"""{"name":${jstr(name)},"iter":$iter,"changed":$changed,"wallMs":$wallMs,"snapshot":$snapPath}\n"""
         Files.writeString(
           manifestPath.get, line,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -46,6 +46,13 @@ object GraftShims {
     val qe = df.queryExecution
     val idx = df.schema.fieldIndex(flagCol)
     val acc = session.sparkContext.longAccumulator(s"graft.flagged.$flagCol")
+    // The accumulator increments inside a map transformation, so a task
+    // retry / speculative duplicate can overcount. That is acceptable BY
+    // CONTRACT here: callers use the flagged count only as a convergence
+    // signal (`> 0` ⇒ keep iterating), so overcounting can at worst run one
+    // extra superstep whose own count is then exact — results are never
+    // affected. Exact per-step counts would cost a second job per superstep,
+    // which is the latency this shim exists to remove.
     val rdd = qe.toRdd.map { r =>
       if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1L)
       r.copy()
