@@ -145,6 +145,82 @@ class DedupSpec extends SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("blocked exact embedding dedup == brute-force crossJoin, plan has no Cartesian") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val embs = (0 until 60).map(i => (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDuplicates(embs, col("vec_id"), col("embedding"),
+      threshold = 0.3, blocks = 4)
+    // independent brute force (the quadratic baseline the blocked join replaces)
+    val v = embs.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+    val brute = v.select(col("id").as("a"), col("v").as("va"), col("norm").as("na"))
+      .crossJoin(v.select(col("id").as("b"), col("v").as("vb"), col("norm").as("nb")))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= 0.3)
+      .select("a", "b", "cosine")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "blocked all-pairs must be an equi-join")
+  }
+
+  test("LSH embedding dedup finds every clustered near-dup (exact verify)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // clustered corpus: the regime LSH is FOR (uniform-random vectors have
+    // no near-dups to find); 15 clusters x 8 members, intra-cluster cosine
+    // ~0.999
+    val bases = Array.fill(15)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 15; i <- 0 until 8) yield
+      ((c * 8 + i).toLong,
+        bases(c).map(b => b + (rnd.nextGaussian() * 0.03).toFloat))
+    val embs = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingDuplicates(embs, col("vec_id"), col("embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDuplicatesLsh(embs, col("vec_id"), col("embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dups")
+    assert(lsh == exact, s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
+
+  test("simhash bucketing is COMPLETE at d=6, incl. pairs spread over >1 16-bit chunk") {
+    val s = spark; import s.implicits._
+    // graded perturbations of one base doc give signature pairs at many
+    // hamming distances; completeness = bucketed pairs == brute-force pairs
+    val baseToks = (1 to 80).map(i => s"tok$i")
+    val docs = docsDf((0 until 30).map { k =>
+      k.toLong -> baseToks.zipWithIndex.map { case (t, i) =>
+        if (i < k) s"sub${k}_$i" else t
+      }.mkString(" ")
+    })
+    val d = 6
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= d
+    } yield (a, b)).toSet
+    val got = Dedup.simhashDuplicates(docs, col("doc_id"), col("text"), maxDistance = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missed=${(brute -- got).size} extra=${(got -- brute).size}")
+    // regression guard for the old fixed-4-chunk scheme: some found pair
+    // must have distance > 3 with its differing bits spread across at
+    // least 2 of the four 16-bit quarters (the old code missed those
+    // whenever all four quarters differed; any >3-distance multi-quarter
+    // pair exercises the generalized chunking)
+    val spread = brute.exists { case (a, b) =>
+      val x = sigs(a) ^ sigs(b)
+      java.lang.Long.bitCount(x) > 3 &&
+        (0 until 4).count(q => ((x >>> (16 * q)) & 0xFFFFL) != 0L) >= 2
+    }
+    assert(spread, "fixture lacks a >3-distance multi-chunk pair; strengthen it")
+  }
 }
 
 class SimilaritySpec extends SparkTest {
