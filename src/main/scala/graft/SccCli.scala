@@ -15,23 +15,30 @@ import graft.sources.GraphFile
   *   induced — reference-engine semantics (SCCs of G[U]); default
   */
 object SccCli {
+
+  /** The CLI body, session-agnostic (tested directly in SccSpec): returns
+    * the exact lines `main` prints — reference parity with
+    * standalone.cpp:309-326's output shape.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, path: String,
+      mode: Scc.SccMode): Seq[String] = {
+    val g = GraphFile.read(spark, path)
+    val acc = Scc.accepted(spark, g.edges, g.vertices, mode)
+    val nAccepted = Scc.countAccepted(acc)
+    if (nAccepted == 0) Seq("No SCCs found")
+    else {
+      val members = Scc.answer(acc).collect().map(_.getLong(0))
+      s"accepted SCCs: $nAccepted" +: "SCC:" +: members.map(_.toString).toSeq
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: SccCli <graph-file> [full|induced] [cores]")
     val mode = if (args.length > 1 && args(1) == "full") Scc.FullGraph else Scc.InducedU
     val cores = if (args.length > 2) args(2).toInt else 4
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("ERROR")
-
-    val g = GraphFile.read(spark, args(0))
-    val acc = Scc.accepted(spark, g.edges, g.vertices, mode)
-    val nAccepted = Scc.countAccepted(acc)
-    if (nAccepted == 0) println("No SCCs found")
-    else {
-      println(s"accepted SCCs: $nAccepted")
-      val members = Scc.answer(acc).collect().map(_.getLong(0))
-      println("SCC:")
-      members.foreach(println)
-    }
+    run(spark, args(0), mode).foreach(println)
     spark.stop()
   }
 }

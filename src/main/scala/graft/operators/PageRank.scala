@@ -24,6 +24,13 @@ import graft.plans.{StepMetrics, Superstep}
   */
 object PageRank {
 
+  /** `itersPerStep` rank updates run per driver action (checkpoint +
+    * convergence read are the fixed per-action cost). `maxIter` counts
+    * ITERATIONS, not actions: the last action runs a partial batch so the
+    * total is exact (q_pagerank_topk's oracle depends on exactly-20).
+    * Tol-based convergence is checked once per action — at worst
+    * itersPerStep−1 extra (tightening) iterations run.
+    */
   def run(
       spark: SparkSession,
       edges: DataFrame,
@@ -31,7 +38,9 @@ object PageRank {
       alpha: Double = 0.85,
       tol: Double = 1e-6,
       maxIter: Int = 100,
+      itersPerStep: Int = 1,
       snapshotDir: Option[String] = None): (DataFrame, Vector[StepMetrics]) = {
+    require(itersPerStep >= 1)
 
     val n = vertices.count().toDouble
 
@@ -50,13 +59,10 @@ object PageRank {
     val state0 = verts.select(col("id"), col("outDeg"), lit(1.0 / n).as("rank"),
       lit(true).as("changed"))
 
-    val harness = new Superstep(spark, "pagerank", snapshotDir)
-    val (converged, metrics) = harness.run(state0, maxIter, changedCol = Some("changed")) {
-      (state, _) =>
-      // Dangling mass rides the plan as a broadcast 1-row aggregate —
-      // folding it in keeps each superstep at ONE driver action (the
-      // changed-count), not two; a scalar `.head()` here would double the
-      // job count per iteration.
+    // One rank update. Dangling mass rides the plan as a broadcast 1-row
+    // aggregate — folding it in keeps each update scalar-action-free; a
+    // `.head()` here would add a job per iteration.
+    def update(state: DataFrame): DataFrame = {
       val danglingDf = state.filter(col("outDeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0)).as("danglingMass"))
 
@@ -78,6 +84,14 @@ object PageRank {
           col("prevRank"))
         .withColumn("changed", abs(col("rank") - col("prevRank")) > tol)
         .drop("prevRank")
+    }
+
+    val steps = (maxIter + itersPerStep - 1) / itersPerStep
+    val harness = new Superstep(spark, "pagerank", snapshotDir)
+    val (converged, metrics) = harness.run(state0, steps, changedCol = Some("changed")) {
+      (state, step) =>
+      val itersThisStep = math.min(itersPerStep, maxIter - step * itersPerStep)
+      (0 until itersThisStep).foldLeft(state)((s, _) => update(s))
     } { _ => 0L }
 
     verts.unpersist(false)

@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   *      hub-tolerant without help (Spark hash aggregates combine before the
   *      shuffle), so degree counting and PageRank contribution sums need no
   *      salting.
-  *   3. What AQE can NOT fix: a broadcast-ineligible equi-join whose BUILD
-  *      rows for one key don't fit a task, or aggregation buffers with no
-  *      partial-agg (collect_list/collect_set of hub adjacency). That's
-  *      what [[saltedJoin]] and [[saltedCollect]] are for: split each hub
-  *      key into `saltFactor` sub-keys, replicate the other side per salt,
-  *      re-merge after.
+  *   3. What neither fixes: set/list aggregation buffers for a key with
+  *      MANY DISTINCT values. collect_set does partially aggregate (the
+  *      map side dedups rows), but the reduce-side buffer for a hub key
+  *      still accumulates every distinct value in one task. [[saltedJoin]]
+  *      and [[saltedCollectSet]] split each hub key into `saltFactor`
+  *      sub-keys (salting by VALUE hash, so distinct values spread),
+  *      replicate the other side per salt, re-merge after.
+  *
+  * Live call site: [[Scc.components]]' BFS pivot-set aggregation switches
+  * to [[saltedCollectSet]] when the graph's max degree exceeds its
+  * `hubDegreeThreshold` (SccSpec "skewed hub graph" exercises the path).
   */
 object Salting {
 

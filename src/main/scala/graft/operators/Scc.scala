@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -51,6 +53,132 @@ object Scc {
       round: Int, localSolved: Long, trimmed: Long, pairTrimmed: Long, bfsSteps: Int,
       sccRows: Long, liveRows: Long)
 
+  /** Degree-decrement trim-1 fixpoint (`trimming_kernel`/`trimming`,
+    * main.cpp:54-63, cuda/scc_operations.cu:89-127) in incremental form:
+    * in/out-degrees are aggregated ONCE from the edge table; each sweep
+    * removes the dead vertices (in- or out-degree 0 ⇒ singleton SCC) and
+    * only decrements the counters of their neighbors — O(removed·degree)
+    * shuffle per sweep instead of a full edges⨝live re-join. Two Spark
+    * actions per sweep (removed-set materialization + counter update whose
+    * dead-count rides the checkpoint accumulator).
+    *
+    * `verts` needs `id`; extra columns (e.g. `pivot`) ride along unchanged.
+    * `edgesBySrc`/`edgesByDst` are the same edge rows (pass differently
+    * partitioned copies when available so both degree aggregations reuse an
+    * existing exchange). Removed vertices are appended to `assignedParts`
+    * as (id, comp = id) fragments, their backing to `partBacking`.
+    *
+    * Returns (survivors frame — arena-owned, schema = verts ++ oc/ic/dead —
+    * remaining row count, removed total, sweeps run). If the sweep cap is
+    * hit, still-dead rows stay in the survivors (flagged, untrimmed).
+    */
+  private def trimFixpoint(
+      arena: CheckpointArena,
+      edgesBySrc: DataFrame,
+      edgesByDst: DataFrame,
+      verts: DataFrame,
+      maxSweeps: Int,
+      assignedParts: mutable.ArrayBuffer[DataFrame],
+      partBacking: mutable.ArrayBuffer[DataFrame]): (DataFrame, Long, Long, Int) = {
+    val carry = verts.columns.filter(_ != "id").toSeq
+    def proj(oc: Column, ic: Column): Seq[Column] =
+      (col("id") +: carry.map(col)) ++ Seq(oc.as("oc"), ic.as("ic"))
+    var (degs, remaining, deadCnt) = arena.freshFlagged(
+      verts
+        .join(edgesBySrc.groupBy(col("src").as("id")).agg(count(lit(1)).as("oc")),
+          Seq("id"), "left")
+        .join(edgesByDst.groupBy(col("dst").as("id")).agg(count(lit(1)).as("ic")),
+          Seq("id"), "left")
+        .select(proj(coalesce(col("oc"), lit(0L)), coalesce(col("ic"), lit(0L))): _*)
+        .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
+      "dead")
+    var removedTotal = 0L
+    var sweep = 0
+    while (deadCnt > 0 && sweep < maxSweeps) {
+      val (removed, _) = arena.freshCounted(degs.filter(col("dead")).select("id"))
+      partBacking += removed
+      assignedParts += removed.select(col("id"), col("id").as("comp"))
+      val decIn = edgesBySrc
+        .join(broadcast(removed.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("dIn"))
+      val decOut = edgesByDst
+        .join(broadcast(removed.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("dOut"))
+      val next = arena.freshFlagged(
+        degs.filter(!col("dead")).drop("dead")
+          .join(decIn, Seq("id"), "left")
+          .join(decOut, Seq("id"), "left")
+          .select(proj(col("oc") - coalesce(col("dOut"), lit(0L)),
+            col("ic") - coalesce(col("dIn"), lit(0L))): _*)
+          .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
+        "dead")
+      arena.release(degs)
+      removedTotal += deadCnt
+      degs = next._1
+      remaining = next._2
+      deadCnt = next._3
+      sweep += 1
+    }
+    (degs, remaining, removedTotal, sweep)
+  }
+
+  /** Outer-loop durability (north_rule "resumable from checkpoint with
+    * per-partition lineage"): every finished (id, comp) fragment is written
+    * to parquet exactly once (one file per partition = per-partition
+    * lineage), the live (id, pivot) state once per round, plus one manifest
+    * line per round. A restarted [[components]] call with the same
+    * `snapshotDir` reads the newest manifest and re-enters the outer loop
+    * after the last completed round — pre-trim, WCC and all completed
+    * rounds are never recomputed. (The reference's analog, the whole
+    * `routine`, restarts from scratch: scc_runner.cu:29-48.)
+    */
+  private final class Snapshots(spark: SparkSession, dir: String) {
+    private val manifest = java.nio.file.Paths.get(dir, "scc.manifest.jsonl")
+    private var written = 0
+
+    private def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    def writeRound(round: Int, live: DataFrame, liveCount: Long,
+        parts: Seq[DataFrame]): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      (written until parts.size).foreach { i =>
+        parts(i).write.mode("overwrite").parquet(s"$dir/scc.part_$i")
+      }
+      written = parts.size
+      val livePath = s"$dir/scc.live_$round"
+      live.write.mode("overwrite").parquet(livePath)
+      java.nio.file.Files.writeString(manifest,
+        s"""{"round":$round,"liveCount":$liveCount,"nParts":$written,"live":${jstr(livePath)}}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+
+    /** Newest durable round, if any: (live, fragments, round, liveCount). */
+    def resume(): Option[(DataFrame, Seq[DataFrame], Int, Long)] = {
+      if (!java.nio.file.Files.exists(manifest)) return None
+      val re =
+        """"round":(\d+),"liveCount":(\d+),"nParts":(\d+),"live":"([^"]+)"""".r.unanchored
+      scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(manifest)).asScala
+        .flatMap {
+          case re(r, lc, np, lp) => Some((r.toInt, lc.toLong, np.toInt, lp))
+          case _ => None
+        }
+        .lastOption
+        .map { case (r, lc, np, lp) =>
+          written = np
+          (spark.read.parquet(lp),
+            (0 until np).map(i => spark.read.parquet(s"$dir/scc.part_$i")).toSeq,
+            r, lc)
+        }
+    }
+  }
+
   /** Full SCC decomposition. Returns (id, comp) for every vertex, with
     * comp = min member id (canonical), plus per-round metrics.
     *
@@ -61,6 +189,22 @@ object Scc {
     * 100 TB that means the giant component runs distributed FW-BW while the
     * million-small-component tail costs O(1) jobs total. Set the threshold
     * to 0 to force the pure distributed path (used by tests to cover it).
+    *
+    * Per-round job budget (the sandbox superstep-latency floor is the
+    * binding constraint; see BASELINE.md): the live partition-internal edge
+    * table is materialized ONCE per round and shared by local-solve /
+    * trim-1 / trim-2; trim sweeps decrement degree counters instead of
+    * re-joining edges; convergence counts ride checkpoint accumulators;
+    * the relabel flows into the BFS harness's own state0 checkpoint; the
+    * recolor checkpoint serves both the finished fragment and the done
+    * count. `hopsPerStep` > 1 composes BFS hops into one action — OFF by
+    * default: the composed plan recomputes the uncached intermediate state
+    * ~3x per extra hop (measured 2.4x slower end-to-end at 2.3M edges), so
+    * it only pays when per-action driver latency dominates per-stage work.
+    *
+    * When `snapshotDir` is set the outer loop is durable and resumable
+    * (see [[Snapshots]]); a fresh call with the same directory continues
+    * after the last completed round.
     */
   def components(
       spark: SparkSession,
@@ -69,7 +213,10 @@ object Scc {
       maxOuter: Int = 100,
       maxTrimSweeps: Int = 20,
       localSolveEdgeThreshold: Long = 250000,
+      hubDegreeThreshold: Long = 2000000,
+      hopsPerStep: Int = 1,
       snapshotDir: Option[String] = None): (DataFrame, Vector[RoundMetrics]) = {
+    require(hopsPerStep >= 1)
     import spark.implicits._
     val arena = new CheckpointArena
 
@@ -89,95 +236,100 @@ object Scc {
     eBySrc.count(); eByDst.count()
     graft.Log.v(s"scc: edges materialized")
 
-    // Finished (id, comp) fragments; each is independently materialized, the
-    // final answer is one lazy union over them (never re-materialized per
-    // round — that would be O(V * rounds) writes).
-    val assignedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-
-    // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172 does
-    // the same) — degree-0 peeling needs no partition map, shrinks both the
-    // WCC input and the first FW-BW round. Incremental formulation: full
-    // in/out-degree counts are built ONCE from the two co-partitioned edge
-    // copies (both aggregations are exchange-free); each subsequent sweep
-    // only broadcasts the just-removed vertex set against the edge tables
-    // and decrements the affected counters — O(removed·degree) per sweep
-    // instead of re-scanning/shuffling the whole edge table.
-    var preTrimmed = 0L
-    var preSweep = 0
-    var degs = arena.fresh(
-      verts
-        .join(eBySrc.groupBy(col("src").as("id")).agg(count(lit(1)).as("oc")), Seq("id"), "left")
-        .join(eByDst.groupBy(col("dst").as("id")).agg(count(lit(1)).as("ic")), Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("oc"), lit(0L)).as("oc"), coalesce(col("ic"), lit(0L)).as("ic")))
-    // checkpointed (id)-pieces backing lazy (id, comp) fragments — must
-    // outlive the arena alongside the fragments themselves
-    val partBacking = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var (removed, removedCnt) = arena.freshCounted(
-      degs.filter(col("oc") === 0 || col("ic") === 0).select("id"))
-    while (removedCnt > 0 && preSweep < maxTrimSweeps) {
-      // singleton SCCs: comp = own id
-      partBacking += removed
-      assignedParts += removed.select(col("id"), col("id").as("comp"))
-      val decIn = eBySrc
-        .join(broadcast(removed.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
-        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("dIn"))
-      val decOut = eByDst
-        .join(broadcast(removed.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
-        .groupBy(col("src").as("id")).agg(count(lit(1)).as("dOut"))
-      val newDegs = arena.fresh(
-        degs.join(removed, Seq("id"), "left_anti")
-          .join(decIn, Seq("id"), "left")
-          .join(decOut, Seq("id"), "left")
-          .select(col("id"),
-            (col("oc") - coalesce(col("dOut"), lit(0L))).as("oc"),
-            (col("ic") - coalesce(col("dIn"), lit(0L))).as("ic")))
-      arena.release(degs)
-      degs = newDegs
-      preTrimmed += removedCnt
-      preSweep += 1
-      val rc = arena.freshCounted(
-        degs.filter(col("oc") <= 0 || col("ic") <= 0).select("id"))
-      removed = rc._1; removedCnt = rc._2
-    }
-    arena.release(removed)
-    var live = arena.fresh(degs.select(col("id"), lit(0L).as("pivot")))
-    arena.release(degs)
-    graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweep sweeps")
-
-    // WCC pre-partition of the trimmed remainder: SCCs never span weak
-    // components, so use the WCC label (a min member id, hence a valid
-    // pivot) as the initial partition.
-    val liveEdges0 = eBySrc
-      .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
-    val (wcc, wccMetrics) = Wcc.run(spark, liveEdges0, live.select("id"))
-    graft.Log.v(s"scc: wcc done in ${wccMetrics.size} supersteps")
-
-    val live0 = arena.fresh(
-      live.select("id").join(wcc, Seq("id"))
-        .select(col("id"), col("comp").as("pivot"),
-          (col("id") === col("comp")).as("fw"), (col("id") === col("comp")).as("bw")))
-    arena.release(live)
-    live = live0
-
+    // Finished (id, comp) fragments; each is independently materialized (or
+    // a lazy filter over a materialized backing frame), the final answer is
+    // one lazy union over them (never re-materialized per round — that
+    // would be O(V * rounds) writes).
+    val assignedParts = mutable.ArrayBuffer[DataFrame]()
+    // checkpointed pieces backing lazy (id, comp) fragments — must outlive
+    // the arena alongside the fragments themselves
+    val partBacking = mutable.ArrayBuffer[DataFrame]()
     val metrics = Vector.newBuilder[RoundMetrics]
+    val snaps = snapshotDir.map(new Snapshots(spark, _))
+
+    var live: DataFrame = null
+    var liveCount = 0L
     var round = 0
-    var liveCount = live.count()
+    // whether the global pre-trim reached its fixpoint (used to skip the
+    // provably-empty round-0 trim — see below)
+    var preTrimFixpoint = true
+
+    snaps.flatMap(_.resume()) match {
+      case Some((liveDf, parts, r, lc)) =>
+        // Durable restart: completed fragments come back as parquet scans
+        // (no arena backing needed), the live state is re-materialized
+        // id-partitioned, and the loop re-enters after round r. Pre-trim
+        // and WCC are never recomputed.
+        graft.Log.v(s"scc: resuming after round $r (live=$lc, parts=${parts.size})")
+        assignedParts ++= parts
+        live = arena.fresh(liveDf.repartition(col("id")))
+        liveCount = lc
+        round = r + 1
+        preTrimFixpoint = false // conservatively run per-round trims
+
+      case None =>
+        // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172
+        // does the same) — degree-0 peeling needs no partition map, shrinks
+        // both the WCC input and the first FW-BW round. The two initial
+        // degree aggregations reuse the two persisted edge partitionings
+        // (both exchange-free).
+        val (degs, _, preTrimmed, preSweeps) = trimFixpoint(
+          arena, eBySrc, eByDst, verts, maxTrimSweeps, assignedParts, partBacking)
+        preTrimFixpoint = preSweeps < maxTrimSweeps
+        graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweeps sweeps")
+
+        // WCC pre-partition of the trimmed remainder: SCCs never span weak
+        // components, so use the WCC label (a min member id, hence a valid
+        // pivot) as the initial partition.
+        val preLive = degs.select("id")
+        val liveEdges0 = eBySrc
+          .join(preLive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(preLive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        val (wcc, wccMetrics) = Wcc.run(spark, liveEdges0, preLive)
+        graft.Log.v(s"scc: wcc done in ${wccMetrics.size} supersteps")
+
+        val lc = arena.freshCounted(
+          preLive.join(wcc, Seq("id")).select(col("id"), col("comp").as("pivot")))
+        arena.release(degs)
+        live = lc._1
+        liveCount = lc._2
+    }
+
+    // ---- skew gate: one co-partitioned degree-max per edge copy. When a
+    // hub vertex exceeds the threshold, the BFS pivot-set aggregation
+    // switches to the two-level salted build (see Salting.saltedCollectSet).
+    val maxOutDeg = eBySrc.groupBy("src").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+    val maxInDeg = eByDst.groupBy("dst").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+    val useSalting = maxOutDeg > hubDegreeThreshold || maxInDeg > hubDegreeThreshold
+    if (useSalting)
+      graft.Log.v(s"scc: hub degree ${math.max(maxInDeg, maxOutDeg)} > " +
+        s"$hubDegreeThreshold — salted pivot-set aggregation on")
 
     while (liveCount > 0 && round < maxOuter) {
+      // ---- the round's partition-internal live edge table, built ONCE and
+      // reused by local-solve, trim-1 and trim-2 (the round-1 engine
+      // re-joined live⨝edges separately for every consumer and every trim
+      // sweep — at 100 TB each of those was a full O(E) shuffle).
+      val lp = live.select(col("id"), col("pivot"))
+      val (le, _) = arena.freshCounted(
+        eBySrc
+          .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
+          .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
+          .filter(col("srcP") === col("dstP"))
+          .select(col("srcP").as("pivot"), col("src"), col("dst")))
+      // logically-current view of le; narrowed as pivots retire within the
+      // round (le itself stays immutable; the filters are broadcast
+      // anti-joins against small materialized frames)
+      var leLive = le
+
       // ---- local-solve routing: partitions small enough for one task are
       // finished right here by a per-group Tarjan (one shuffle on pivot).
       var localSolved = 0L
       if (localSolveEdgeThreshold > 0) {
-        val lpR = live.select(col("id"), col("pivot"))
-        val leR = eBySrc
-          .join(lpR.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
-          .join(lpR.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
-          .filter(col("srcP") === col("dstP"))
-          .select(col("srcP").as("pivot"), col("src"), col("dst"))
-        val groupEdgeCounts = leR.groupBy("pivot").agg(count("*").as("ec"))
-        val smallPivots = arena.fresh(
+        val groupEdgeCounts = le.groupBy("pivot").agg(count(lit(1)).as("ec"))
+        val (smallPivots, _) = arena.freshCounted(
           live.select("pivot").distinct()
             .join(groupEdgeCounts, Seq("pivot"), "left")
             .filter(coalesce(col("ec"), lit(0L)) <= localSolveEdgeThreshold)
@@ -186,161 +338,161 @@ object Scc {
         // Records per group: (pivot, a, b) where b = -1 marks a vertex row.
         val vertRecs = live.join(smallPivots, Seq("pivot"), "left_semi")
           .select(col("pivot"), col("id").as("a"), lit(-1L).as("b"))
-        val edgeRecs = leR.join(smallPivots, Seq("pivot"), "left_semi")
+        val edgeRecs = le.join(smallPivots, Seq("pivot"), "left_semi")
           .select(col("pivot"), col("src").as("a"), col("dst").as("b"))
-        val solved = arena.fresh(
+        val (solved, solvedCnt) = arena.freshCounted(
           vertRecs.unionByName(edgeRecs)
             .as[(Long, Long, Long)]
             .groupByKey(_._1)
             .flatMapGroups { (_, it) =>
-              val vs = scala.collection.mutable.ArrayBuffer[Long]()
-              val es = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+              val vs = mutable.ArrayBuffer[Long]()
+              val es = mutable.ArrayBuffer[(Long, Long)]()
               it.foreach { case (_, a, b) => if (b == -1L) vs += a else es += ((a, b)) }
               LocalTarjan.solve(vs.toArray, es.toArray)
             }
             .toDF("id", "comp"))
-        localSolved = solved.count()
+        localSolved = solvedCnt
         graft.Log.v(s"scc round $round: local-solved $localSolved rows")
         if (localSolved > 0) {
           assignedParts += solved
-          val newLive = arena.fresh(live.join(smallPivots, Seq("pivot"), "left_anti"))
+          val nl = arena.freshCounted(live.join(smallPivots, Seq("pivot"), "left_anti"))
           arena.release(live)
-          live = newLive
-          liveCount = live.count()
-        }
-        arena.release(smallPivots)
+          live = nl._1
+          liveCount = nl._2
+          leLive = le.join(smallPivots, Seq("pivot"), "left_anti")
+        } else arena.release(solved)
       }
-      if (liveCount == 0) {
-        metrics += RoundMetrics(round, localSolved, 0, 0, 0, 0, 0)
-        round += 1
-      } else {
 
-      // ---- trim-1 fixpoint: peel vertices with no live in- or out-edges
-      // within their partition (they are singleton SCCs). main.cpp:54-63.
       var trimmedTotal = 0L
-      var trimSweep = 0
-      var sweepTrimmed = 1L
-      while (sweepTrimmed > 0 && trimSweep < maxTrimSweeps) {
-        val lp = live.select(col("id"), col("pivot"))
-        val le = eBySrc
-          .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
-          .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
-          .filter(col("srcP") === col("dstP"))
-          .select("src", "dst")
-        val outD = le.groupBy(col("src").as("id")).agg(count("*").as("od"))
-        val inD = le.groupBy(col("dst").as("id")).agg(count("*").as("idg"))
-        val marked = arena.fresh(
-          live
-            .join(outD, Seq("id"), "left")
-            .join(inD, Seq("id"), "left")
-            .withColumn("dead", col("od").isNull || col("idg").isNull))
-        sweepTrimmed = marked.filter(col("dead")).count()
-        if (sweepTrimmed > 0) {
-          assignedParts += arena.fresh(
-            marked.filter(col("dead")).select(col("id"), col("id").as("comp")))
-          val newLive = arena.fresh(marked.filter(!col("dead")).drop("dead", "od", "idg"))
-          arena.release(live)
-          live = newLive
-          trimmedTotal += sweepTrimmed
-        }
-        arena.release(marked)
-        trimSweep += 1
-      }
-
-      // ---- trim-2 (round > 0 only: on the full graph its mutual-pair scan
-      // costs more than the pairs it removes save; on the post-giant
-      // remainder it is cheap mop-up): mutual pair (a,b) where either both
-      // vertices' only live
-      // in-edges, or both vertices' only live out-edges, are each other
-      // => {a,b} is a size-2 SCC (north-star extension). Pairs qualifying
-      // under either variant cannot overlap: sharing a vertex would force
-      // its in- (resp. out-) degree above 1.
       var pairTrimmed = 0L
-      if (round > 0) {
-        val lp2 = live.select(col("id"), col("pivot"))
-        val le2 = eBySrc
-          .join(lp2.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
-          .join(lp2.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
-          .filter(col("srcP") === col("dstP"))
-          .select("src", "dst")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val mutual = le2.filter(col("src") < col("dst"))
-          .join(le2.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"), "left_semi")
-        val od2 = le2.groupBy(col("src").as("id")).agg(count("*").as("od"))
-        val id2 = le2.groupBy(col("dst").as("id")).agg(count("*").as("idg"))
-        val degs = od2.join(id2, Seq("id"), "full")
-          .select(col("id"), coalesce(col("od"), lit(0L)).as("od"), coalesce(col("idg"), lit(0L)).as("idg"))
-        val pairs = arena.fresh(
-          mutual
-            .join(degs.select(col("id").as("src"), col("od").as("aOd"), col("idg").as("aId")), Seq("src"))
-            .join(degs.select(col("id").as("dst"), col("od").as("bOd"), col("idg").as("bId")), Seq("dst"))
-            .filter((col("aId") === 1 && col("bId") === 1) || (col("aOd") === 1 && col("bOd") === 1))
-            .select(col("src"), col("dst")))
-        val pairMembers = pairs.select(col("src").as("id"), col("src").as("comp"))
-          .unionByName(pairs.select(col("dst").as("id"), col("src").as("comp")))
-        pairTrimmed = pairMembers.count()
-        if (pairTrimmed > 0) {
-          assignedParts += arena.fresh(pairMembers)
-          val newLive = arena.fresh(live.join(pairMembers.select("id"), Seq("id"), "left_anti"))
-          arena.release(live)
-          live = newLive
-        }
-        arena.release(pairs)
-        le2.unpersist(false)
-      }
-
-      liveCount = live.count()
       var bfsSteps = 0
       var sccRows = 0L
       if (liveCount > 0) {
+        // ---- trim-1 fixpoint: peel vertices with no live in- or out-edges
+        // within their partition — singleton SCCs (main.cpp:54-63), via the
+        // same incremental degree-decrement helper as the global pre-trim.
+        // Round 0 is provably a no-op when the pre-trim reached ITS
+        // fixpoint: edges never cross WCC partitions, so per-partition
+        // degrees equal live-graph degrees, and local-solve only removes
+        // whole partitions — skip the pass entirely in that case.
+        if (round > 0 || !preTrimFixpoint) {
+          val (degsR, remaining, trimmed, sweeps) = trimFixpoint(
+            arena, leLive, leLive, live, maxTrimSweeps, assignedParts, partBacking)
+          trimmedTotal = trimmed
+          if (trimmed > 0) {
+            arena.release(live)
+            live = degsR // (id, pivot) survivors; oc/ic/dead ride along unused
+            liveCount = remaining
+          } else arena.release(degsR)
+        }
+
+        // ---- trim-2 (round > 0 only: on the full graph its mutual-pair
+        // scan costs more than the pairs it removes save; on the post-giant
+        // remainder it is cheap mop-up): mutual pair (a,b) where either
+        // both vertices' only live in-edges, or both vertices' only live
+        // out-edges, are each other => {a,b} is a size-2 SCC (north-star
+        // extension). Pairs qualifying under either variant cannot overlap:
+        // sharing a vertex would force its in- (resp. out-) degree above 1.
+        if (round > 0 && liveCount > 0) {
+          val lpT = live.select("id")
+          val (le2, _) = arena.freshCounted(
+            leLive
+              .join(lpT.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+              .join(lpT.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+              .select("src", "dst"))
+          val mutual = le2.filter(col("src") < col("dst"))
+            .join(le2.select(col("dst").as("src"), col("src").as("dst")),
+              Seq("src", "dst"), "left_semi")
+          val od2 = le2.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
+          val id2 = le2.groupBy(col("dst").as("id")).agg(count(lit(1)).as("idg"))
+          val degs2 = od2.join(id2, Seq("id"), "full")
+            .select(col("id"), coalesce(col("od"), lit(0L)).as("od"),
+              coalesce(col("idg"), lit(0L)).as("idg"))
+          val (pairs, pairsCnt) = arena.freshCounted(
+            mutual
+              .join(degs2.select(col("id").as("src"), col("od").as("aOd"),
+                col("idg").as("aId")), Seq("src"))
+              .join(degs2.select(col("id").as("dst"), col("od").as("bOd"),
+                col("idg").as("bId")), Seq("dst"))
+              .filter((col("aId") === 1 && col("bId") === 1) ||
+                (col("aOd") === 1 && col("bOd") === 1))
+              .select(col("src"), col("dst")))
+          pairTrimmed = 2 * pairsCnt
+          if (pairsCnt > 0) {
+            val pairMembers = pairs.select(col("src").as("id"), col("src").as("comp"))
+              .unionByName(pairs.select(col("dst").as("id"), col("src").as("comp")))
+            partBacking += pairs
+            assignedParts += pairMembers
+            val nl = arena.freshCounted(
+              live.select("id", "pivot")
+                .join(pairMembers.select("id"), Seq("id"), "left_anti"))
+            arena.release(live)
+            live = nl._1
+            liveCount = nl._2
+          } else arena.release(pairs)
+          arena.release(le2)
+        }
+      }
+
+      if (liveCount > 0) {
         // ---- fw+bw reach from each partition's pivot, restricted to the
         // partition (reach_kernel, main.cpp:65-87; both directions in one
-        // DAG = the v7 shape). Representation: grow-only visited PIECES
-        // (one small checkpointed (id,pivot) frame per step) + a frontier,
-        // instead of rewriting the full state every superstep — per-step
-        // cost is O(frontier·degree) shuffle + O(visited) cached scans,
-        // with zero O(state) writes. The anti-join dedup runs on `id`
-        // alone (each live id has exactly one pivot, so (id) keys are
-        // unique), keeping every join co-partitioned with the
-        // id-partitioned pieces.
+        // DAG = the v7 shape).
         // First re-elect each group's pivot as its min live id: trims may
         // have assigned the old pivot away, which would leave the group
         // seedless. min(live member) keeps the invariant "pivot ∈ group ∧
         // pivot = min(group)", so the SCC found around it is canonically
-        // labeled.
+        // labeled. The relabeled state is NOT separately checkpointed — it
+        // flows lazily into the superstep harness's own state0 checkpoint
+        // (one action instead of two); the explicit id-repartition makes
+        // the checkpointed state hash(id)-partitioned (the relabel join
+        // would otherwise leave it pivot-partitioned: giant-component skew
+        // AND a step-1 re-exchange).
         val relabel = live.groupBy("pivot").agg(min("id").as("newP"))
-        val relabeled = arena.fresh(
-          live.join(relabel, Seq("pivot")).select(col("id"), col("newP").as("pivot")))
-        arena.release(live)
-        live = relabeled
-
-        val bfs0 = live
+        val bfs0 = live.select("id", "pivot")
+          .join(relabel, Seq("pivot"))
+          .select(col("id"), col("newP").as("pivot"))
+          .repartition(col("id"))
           .withColumn("fw", col("id") === col("pivot"))
           .withColumn("bw", col("id") === col("pivot"))
           .withColumn("fwNew", col("fw")).withColumn("bwNew", col("bw"))
           .withColumn("anyNew", col("fw"))
         val harness = new Superstep(spark, s"scc_bfs_$round", snapshotDir, arena = arena)
-        val (reachedSt, bfsMetrics) = harness.run(
-          bfs0, Int.MaxValue, changedCol = Some("anyNew")) { (st, _) =>
+        // One BFS hop: expand the fwNew/bwNew frontier by one edge step.
+        // The superstep runs `hopsPerStep` hops per driver action — the
+        // checkpoint + convergence read are the fixed per-action cost, and
+        // composing hops amortizes it (frontier semantics stay exact: the
+        // next action's frontier is the LAST hop's newly-reached set, and
+        // an empty last hop means the whole reach is complete).
+        val hop: DataFrame => DataFrame = { st =>
           // Frontier expansion. Join shapes chosen so the big sides never
           // move: frontier(id) x eBySrc(src) is co-partitioned; the
-          // per-target pivot sets aggregate by id and join back to the
-          // id-partitioned state — per-step shuffle bytes are O(frontier
-          // out-degree); the state itself is rewritten narrowly (no state
-          // shuffle). A visited-set/frontier-piece representation was
-          // measured SLOWER here: once the giant component is most of the
-          // state, scanning the visited pieces each step costs what the
+          // per-target pivot sets aggregate by id (map-side partial
+          // collect_set — hub targets combine before the shuffle) and join
+          // back to the id-partitioned state — per-step shuffle bytes are
+          // O(frontier out-degree); the state itself is rewritten narrowly
+          // (no state shuffle). A visited-set/frontier-piece representation
+          // was measured SLOWER here: once the giant component is most of
+          // the state, scanning the visited pieces each step costs what the
           // state rewrite costs, plus a per-step anti-join chain.
-          val fwHits = st.filter(col("fwNew"))
-            .select(col("id"), col("pivot"))
-            .join(eBySrc, col("id") === eBySrc("src"))
-            .groupBy(eBySrc("dst").as("id"))
-            .agg(collect_set(col("pivot")).as("fwPs"))
-          val bwHits = st.filter(col("bwNew"))
-            .select(col("id"), col("pivot"))
-            .join(eByDst, col("id") === eByDst("dst"))
-            .groupBy(eByDst("src").as("id"))
-            .agg(collect_set(col("pivot")).as("bwPs"))
+          def pivotSets(frontier: DataFrame, eTbl: DataFrame,
+              joinOn: String, tgt: String, outCol: String): DataFrame = {
+            // fresh aliases per call: the same edge Dataset appears once per
+            // hop in the composed plan, and dataset-qualified refs would
+            // trip DetectAmbiguousSelfJoin (the re-aliasing projection is a
+            // no-op physically — it collapses into the scan)
+            val e = eTbl.select(col(joinOn).as("_eFrom"), col(tgt).as("_eTo"))
+            val hit = frontier.join(e, col("id") === col("_eFrom"))
+              .select(col("_eTo").as("id"), col("pivot"))
+            if (useSalting)
+              Salting.saltedCollectSet(hit, "id", "pivot")
+                .withColumnRenamed("pivots", outCol)
+            else hit.groupBy("id").agg(collect_set(col("pivot")).as(outCol))
+          }
+          val fwHits = pivotSets(st.filter(col("fwNew")).select(col("id"), col("pivot")),
+            eBySrc, "src", "dst", "fwPs")
+          val bwHits = pivotSets(st.filter(col("bwNew")).select(col("id"), col("pivot")),
+            eByDst, "dst", "src", "bwPs")
           st.drop("fwNew", "bwNew")
             .join(fwHits, Seq("id"), "left")
             .join(bwHits, Seq("id"), "left")
@@ -351,6 +503,10 @@ object Scc {
               (!col("fw") && coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fwNew"),
               (!col("bw") && coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bwNew"))
             .withColumn("anyNew", col("fwNew") || col("bwNew"))
+        }
+        val (reachedSt, bfsMetrics) = harness.run(
+          bfs0, Int.MaxValue, changedCol = Some("anyNew")) { (st, _) =>
+          (1 until hopsPerStep).foldLeft(hop(st))((s, _) => hop(s))
         } { _ => 0L }
         arena.release(live)
         bfsSteps = bfsMetrics.size
@@ -358,29 +514,36 @@ object Scc {
 
         // ---- update/recolor (main.cpp:105-163): 4-way split per pivot by
         // (fw,bw); fw AND bw = the pivot's SCC, done; the rest re-pivot to
-        // the min id of their color group and loop.
+        // the min id of their color group and loop. ONE flagged checkpoint
+        // serves both the done-fragment (a lazy filter over it) and the
+        // done-count; only the new live state is re-materialized.
         val groups = reached.groupBy("pivot", "fw", "bw").agg(min("id").as("newPivot"))
-        val recolored = arena.fresh(reached.join(groups, Seq("pivot", "fw", "bw")))
+        val (recolored, _, doneCnt) = arena.freshFlagged(
+          reached.join(groups, Seq("pivot", "fw", "bw"))
+            .withColumn("done", col("fw") && col("bw")),
+          "done")
         arena.release(reachedSt)
-
-        val (sccs, sccCount) = arena.freshCounted(
-          recolored.filter(col("fw") && col("bw"))
-            .select(col("id"), col("pivot").as("comp")))
-        sccRows = sccCount
-        if (sccRows > 0) assignedParts += sccs else arena.release(sccs)
-
-        val (newLive, newLiveCount) = arena.freshCounted(
-          recolored.filter(!(col("fw") && col("bw")))
+        sccRows = doneCnt
+        if (doneCnt > 0) {
+          partBacking += recolored
+          assignedParts += recolored.filter(col("done"))
+            .select(col("id"), col("pivot").as("comp"))
+        }
+        val (nl, nlCnt) = arena.freshCounted(
+          recolored.filter(!col("done"))
             .select(col("id"), col("newPivot").as("pivot")))
-        live = newLive
-        arena.release(recolored)
-        liveCount = newLiveCount
+        if (doneCnt == 0) arena.release(recolored)
+        live = nl
+        liveCount = nlCnt
       }
-      graft.Log.v(s"scc round $round: trimmed=$trimmedTotal pair=$pairTrimmed bfs=$bfsSteps sccRows=$sccRows live=$liveCount")
+      arena.release(le)
+      graft.Log.v(s"scc round $round: local=$localSolved trimmed=$trimmedTotal " +
+        s"pair=$pairTrimmed bfs=$bfsSteps sccRows=$sccRows live=$liveCount")
       metrics += RoundMetrics(round, localSolved, trimmedTotal, pairTrimmed, bfsSteps,
         sccRows, liveCount)
+      snaps.foreach(_.writeRound(round, live.select("id", "pivot"), liveCount,
+        assignedParts.toSeq))
       round += 1
-      }
     }
     require(liveCount == 0, s"SCC did not converge in $maxOuter rounds ($liveCount live)")
 

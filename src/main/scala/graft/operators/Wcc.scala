@@ -27,11 +27,19 @@ import graft.plans.{CheckpointArena, StepMetrics, Superstep}
   */
 object Wcc {
 
+  /** `roundsPerStep` large+small-star rounds run per driver action — the
+    * checkpoint materialization and the convergence signature are the fixed
+    * per-action latency, and composing rounds amortizes them (the composite
+    * map has the same fixpoints, so signature-stability still detects
+    * convergence; at worst the final action runs one already-converged
+    * round, which is a no-op).
+    */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       vertices: DataFrame,
       maxIter: Int = 50,
+      roundsPerStep: Int = 1,
       snapshotDir: Option[String] = None): (DataFrame, Vector[StepMetrics]) = {
 
     val arena = new CheckpointArena
@@ -71,7 +79,7 @@ object Wcc {
 
     var prevSig: Option[(Long, Long)] = None
     val (links, metrics) = harness.run(links0, maxIter) { (st, _) =>
-      smallStar(largeStar(st))
+      (0 until roundsPerStep).foldLeft(st)((s, _) => smallStar(largeStar(s)))
     } { next =>
       val row = next.agg(
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),

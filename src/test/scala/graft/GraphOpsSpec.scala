@@ -29,6 +29,13 @@ class WccSpec extends SparkTest {
     val (got, _) = Wcc.run(spark, GraphGen.edges(spark, spec), GraphGen.vertices(spark, spec))
     assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
   }
+
+  test("wcc with roundsPerStep=2 converges to the same labels") {
+    val (edges, n, _) = fixture("sample_graph8")
+    val expected = Oracle.wcc(0L until n, edges)
+    val (got, _) = Wcc.run(spark, edgesDf(edges), vertsDf(0L until n), roundsPerStep = 2)
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
 }
 
 class PageRankSpec extends SparkTest {
@@ -50,6 +57,17 @@ class PageRankSpec extends SparkTest {
     assert(math.abs(gotMap.values.sum - 1.0) < 1e-9)
     for (v <- Seq(0L, 1L, 2L))
       assert(math.abs(gotMap(v) - expected(v)) < 1e-6)
+  }
+
+  test("itersPerStep=2 runs exactly maxIter iterations (oracle-critical)") {
+    val (edges, n, _) = fixture("sample_graph")
+    val (a, _) = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n),
+      tol = 0.0, maxIter = 5, itersPerStep = 1)
+    val (b, _) = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n),
+      tol = 0.0, maxIter = 5, itersPerStep = 2)
+    val am = a.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bm = b.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (v <- 0L until n) assert(math.abs(am(v) - bm(v)) < 1e-12, s"vertex $v")
   }
 }
 

@@ -275,22 +275,68 @@ class SimilaritySpec extends SparkTest {
 }
 
 class MultimodalSpec extends SparkTest {
-  test("decode/features/frames plumbing on synthetic assets") {
+  test("PPM codec round-trips and resizes real pixels") {
+    val px = Array.tabulate(10 * 6 * 3)(i => ((i * 7) % 256).toByte)
+    val img = Multimodal.Ppm.Image(10, 6, px)
+    val back = Multimodal.Ppm.decode(Multimodal.Ppm.encode(img))
+    assert(back.width == 10 && back.height == 6 && back.pixels.sameElements(px))
+    // comments + extra whitespace in the header must parse
+    val commented = "P6\n# a comment\n 10  6\n255\n".getBytes("US-ASCII") ++ px
+    val back2 = Multimodal.Ppm.decode(commented)
+    assert(back2.width == 10 && back2.pixels.sameElements(px))
+    val small = Multimodal.Ppm.resize(img, 5)
+    assert(small.width == 5 && small.height == 3 && small.pixels.length == 5 * 3 * 3)
+    // nearest-neighbor: every output pixel exists somewhere in the source
+    assert(small.pixels.toSet.subsetOf(px.toSet))
+  }
+
+  test("WAV codec round-trips PCM16 and survives unknown chunks") {
+    val samples = Array.tabulate(400)(i => (math.sin(i * 0.1) * 9000).toShort)
+    val bytes = Multimodal.Wav.encode(Multimodal.Wav.Audio(1, 8000, samples))
+    val back = Multimodal.Wav.decode(bytes)
+    assert(back.channels == 1 && back.sampleRate == 8000 &&
+      back.samples.sameElements(samples))
+    // splice an unknown chunk between fmt and data: chunk walk must skip it
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      Array[Byte](9, 9, 9, 9)
+    val spliced = bytes.take(36) ++ junk ++ bytes.drop(36)
+    // fix RIFF size
+    val riffLen = spliced.length - 8
+    spliced(4) = riffLen.toByte; spliced(5) = (riffLen >> 8).toByte
+    spliced(6) = (riffLen >> 16).toByte; spliced(7) = (riffLen >> 24).toByte
+    assert(Multimodal.Wav.decode(spliced).samples.sameElements(samples))
+  }
+
+  test("decode/features/frames/resize over mixed real+stub assets") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val dec = Multimodal.decode(assets)
     val d = dec.collect()
-    assert(d.length == 30 && d.forall(a => a.width >= 64 && a.height >= 64 && a.frames >= 1))
+    assert(d.length == 30)
+    assert(d.filter(_.kind == "image").forall(a =>
+      a.width >= 64 && a.height >= 64 && a.frames == 1))
+    assert(d.filter(_.kind == "audio").forall(a =>
+      a.width == 8000 && a.height == 1 && a.frames >= 1600))
+    assert(d.filter(_.kind == "video").forall(a => a.frames >= 1))
 
     val feats = Multimodal.features(dec).collect()
     assert(feats.forall(f => f.features.length == 16 &&
       math.abs(f.features.sum - 1.0f) < 1e-3))
+    // sine audio: |amplitude| means are roughly uniform across time bins —
+    // no bin should hold more than half the mass
+    assert(feats.filter(_.kind == "audio").forall(_.features.max < 0.5f))
 
     val frames = Multimodal.sampleFrames(dec, 3)
     val perAsset = frames.groupBy("assetId").count().collect()
     assert(perAsset.nonEmpty && perAsset.forall(_.getLong(1) <= 3))
 
     val resized = Multimodal.resize(dec, 32).collect()
-    assert(resized.forall(a => math.max(a.width, a.height) <= 32))
+    val images = resized.filter(_.kind == "image")
+    assert(images.forall(a => math.max(a.width, a.height) <= 32))
+    // resized payload is a valid PPM that re-decodes to the new dimensions
+    assert(images.forall { a =>
+      val img = Multimodal.Ppm.decode(a.bytes)
+      img.width == a.width && img.height == a.height
+    })
   }
 }
 

@@ -153,4 +153,108 @@ class SccSpec extends SparkTest {
     assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("mid_tests-recipe graph (~40k edges): decomposition and acceptance match oracles") {
+    // FIXTURES.md §3: the reference's generate.py:76-153 construction at the
+    // published parameter shape, sized to the mid_tests regime (the four
+    // published graphs are 37k-86k edges / ~47k nodes).
+    val spec = graft.sources.MidTestSpec(numCycles = 1000, lenLo = 16, lenHi = 33)
+    val (eDf, n) = GraphGen.midTestEdges(spark, spec)
+    val edges = eDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.size > 30000 && edges.size < 60000, s"edge count ${edges.size}")
+    val vertices = 0L until n
+    val expected = Oracle.tarjan(vertices, edges)
+    val (got, _) = Scc.components(spark, eDf,
+      GraphGen.midTestVertices(spark, spec, n).select("id"))
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+
+    // the reference's U recipe (generate.py:146-147): members of ~half the
+    // nontrivial SCCs ∪ a random 1/20 of vertices — the SCC half comes from
+    // the oracle, exactly like generate.py derives it from networkx
+    val nontrivial = expected.groupBy(_._2).filter(_._2.size >= 2).keys.toSeq.sorted
+    val sccU = nontrivial.zipWithIndex.collect { case (c, i) if i % 2 == 0 => c }.toSet
+    val u = vertices.filter(v => v % 20 == 0 || sccU(expected(v))).toSet
+    val expectedAcc = Oracle.acceptedComps(vertices, edges, u)
+    val acc = Scc.accepted(spark, eDf, vertsDf(vertices, u), Scc.FullGraph)
+    val gotAcc = acc.collect().collect { case r if r.getBoolean(2) => r.getLong(1) }.toSet
+    assert(gotAcc == expectedAcc)
+  }
+
+  test("multi-hop BFS (hopsPerStep=2) produces the same decomposition") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 3L), (2L, 3L))
+    val vertices = Seq(0L, 1L, 2L, 3L, 4L)
+    val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+      localSolveEdgeThreshold = 0, hopsPerStep = 2)
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Oracle.tarjan(vertices, edges))
+  }
+
+  test("skewed hub graph takes the salted pivot-set path and stays correct") {
+    // star with bidirectional spokes: hub in/out-degree = nSpokes, every
+    // vertex strongly connected through the hub — one SCC. With
+    // hubDegreeThreshold below the hub degree, the BFS aggregation runs
+    // through Salting.saltedCollectSet; localSolveEdgeThreshold=0 forces
+    // the distributed BFS (local Tarjan would otherwise swallow the graph).
+    val n = 3000L
+    val edges = (1L until n).flatMap(i => Seq((0L, i), (i, 0L)))
+    val vertices = 0L until n
+    val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+      localSolveEdgeThreshold = 0, hubDegreeThreshold = 100)
+    val comps = got.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == n && comps.forall(_._2 == 0L))
+  }
+
+  test("Spark-native GraphFile.read == parseLocal, end-to-end through the engine") {
+    val text = scala.io.Source.fromResource("graphs/sample_graph8").mkString
+    val (edges, n, u) = graft.sources.GraphFile.parseLocal(text)
+    val tmp = java.nio.file.Files.createTempFile("graph_", ".txt")
+    java.nio.file.Files.writeString(tmp, text)
+    val g = graft.sources.GraphFile.read(spark, tmp.toString)
+    assert(g.numNodes == n)
+    assert(g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      edges.sorted)
+    assert(g.vertices.filter(col("isU")).collect().map(_.getLong(0)).toSet == u)
+    assert(g.vertices.count() == n)
+    // the distributed reader's output drives the engine to the Tarjan answer
+    val (got, _) = Scc.components(spark, g.edges, g.vertices.select("id"))
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Oracle.tarjan(0L until n, edges))
+  }
+
+  test("SccCli prints the reference binary's answer on sample_graph (induced)") {
+    // known-good cross-check: the reference standalone binary prints {0,1,4}
+    // on samples/sample_graph (verify skill, round-1 cross-validation)
+    val text = scala.io.Source.fromResource("graphs/sample_graph").mkString
+    val tmp = java.nio.file.Files.createTempFile("graph_", ".txt")
+    java.nio.file.Files.writeString(tmp, text)
+    val out = SccCli.run(spark, tmp.toString, Scc.InducedU)
+    assert(out == Seq("accepted SCCs: 1", "SCC:", "0", "1", "4"), out.toString)
+  }
+
+  test("kill-between-rounds resume: snapshot manifest restores the outer loop") {
+    // two cycles joined by an arc need two FW-BW rounds when nothing routes
+    // to the local solver: round 0 finds the pivot's SCC, round 1 the rest.
+    val edges = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      (40L until 80L).map(i => (i, if (i == 79) 40L else i + 1)) :+ (7L, 44L)
+    val vertices = 0L until 80L
+    val e = edgesDf(edges)
+    val v = vertsDf(vertices)
+    val dir = java.nio.file.Files.createTempDirectory("scc_resume_").toString
+
+    // "kill" after round 0: maxOuter=1 leaves live vertices -> require fails,
+    // but round 0's snapshot + manifest are already durable
+    intercept[IllegalArgumentException] {
+      Scc.components(spark, e, v, maxOuter = 1,
+        localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "scc.manifest.jsonl")))
+
+    // restart with the same snapshotDir: resumes after round 0 and completes
+    val (resumed, resumedMetrics) = Scc.components(spark, e, v,
+      localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
+    val expected = Oracle.tarjan(vertices, edges)
+    assert(resumed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    // and it genuinely resumed (first recorded round is > 0), not restarted
+    assert(resumedMetrics.head.round > 0, resumedMetrics.toString)
+  }
 }
