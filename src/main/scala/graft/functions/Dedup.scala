@@ -56,12 +56,21 @@ object Dedup {
   /** MinHash signature (array of `numHashes` longs) over a shingle array.
     * Hash family h_i(s) = xxhash64(i, s); min over shingles per i.
     * Empty shingle set → all Long.MaxValue (matches nothing).
+    *
+    * Shape note: the shingle array is the OUTER argument (evaluated once
+    * per row) and the fold runs per shingle. The transposed form —
+    * transform over hash indices with the shingle column referenced inside
+    * the lambda — lets projection collapse inline the (expensive) shingle
+    * expression into the lambda body, where interpreted HOF evaluation
+    * recomputes it once per hash index per row: measured ~16× slower
+    * end-to-end on the documents table.
     */
   def minhash(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      coalesce(
-        array_min(transform(shingleArr, s => xxhash64(i, s))),
-        lit(Long.MaxValue)))
+    aggregate(
+      transform(shingleArr, s =>
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b)))
 
   /** Candidate near-duplicate pairs via LSH banding of MinHash signatures,
     * verified with exact n-gram Jaccard. Input (id, text); output
@@ -76,19 +85,25 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val sh = docs.select(id.as("id"), shingles(text, shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhash(col("sh"), bands * rowsPerBand))
+    val sig = sh.select(col("id"), minhash(col("sh"), bands * rowsPerBand).as("sig"))
     // one row per (doc, band): bucket key = hash of the band's slice.
+    // The signature is computed BELOW the generator (band ids exploded from
+    // a literal array), so the expensive minhash tree evaluates exactly
+    // once per document: referencing it inside a per-band lambda instead
+    // lets projection collapse inline it into the lambda body, where
+    // (higher-order functions being interpreted, not codegen'd) it would
+    // re-evaluate once per band per row — measured 16x eval cost.
     // Shingle arrays do NOT ride the bucket join — a candidate pair that
     // collides in several bands would otherwise shuffle two document-sized
     // arrays once per collision; ids are deduped FIRST, then shingles join
     // back exactly once per surviving pair for the exact-Jaccard verify.
-    val bucketed = sig.select(
-      col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-            .as("bucket")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bucketed = sig
+      .select(col("id"), col("sig"),
+        explode(typedLit((0 until bands).toArray)).as("band"))
+      .select(col("id"), col("band"),
+        xxhash64(col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("bucket"))
     val l = bucketed.select(col("band"), col("bucket"), col("id").as("a"))
     val r = bucketed.select(col("band"), col("bucket"), col("id").as("b"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -158,6 +173,9 @@ object Dedup {
     // values == equality of the chunk, no shifting required (shifting by a
     // Column isn't in the Scala API, and decimal division mis-rounds
     // negative signatures). Chunk widths differ by at most one bit.
+    // Masks explode from a literal array with the signature kept BELOW the
+    // generator, so the expensive simhash tree evaluates once per document
+    // (not once per chunk — see the same note in minhashDuplicates).
     val nChunks = maxDistance + 1
     val base = 64 / nChunks
     val rem = 64 % nChunks
@@ -167,12 +185,11 @@ object Dedup {
       val widthMask = if (w >= 64) -1L else (1L << w) - 1L
       widthMask << start
     }
-    val chunked = sig.select(
-      col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
-        struct(c.as("chunk"),
-          col("sig").bitwiseAND(element_at(typedLit(chunkMasks), c + 1)).as("key")))).as("ck"))
-      .select(col("id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val chunked = sig
+      .select(col("id"), col("sig"),
+        posexplode(typedLit(chunkMasks)).as(Seq("chunk", "mask")))
+      .select(col("id"), col("sig"), col("chunk"),
+        col("sig").bitwiseAND(col("mask")).as("key"))
     val l = chunked.select(col("chunk"), col("key"), col("id").as("a"), col("sig").as("sigA"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("b"), col("sig").as("sigB"))
     l.join(r, Seq("chunk", "key"))
