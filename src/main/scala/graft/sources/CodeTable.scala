@@ -75,6 +75,22 @@ object CodeTable {
       .select("fileId", "repo", "path", "commit", "lang", "content", "sha")
   }
 
+  /** Write the code table in the layout the north-star Iceberg-style source
+    * uses on disk: parquet partitioned by `lang` — the natural
+    * low-cardinality predicate column — so per-language queries prune whole
+    * directories at planning time (PartitionFilters in the scan), and
+    * parquet row-group min/max stats serve the remaining predicates
+    * (PushedFilters). A real Iceberg catalog layers snapshot/manifest
+    * metadata on top of exactly this file layout; the pruning and pushdown
+    * behavior the engine depends on at 100 TB is the same and is gated in
+    * PlanSpec.
+    */
+  def writePartitioned(files: DataFrame, path: String): Unit =
+    files.write.mode("overwrite").partitionBy("lang").parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Regexes per language; group 1 captures the referenced stem `f\d{9}`. */
   private val importRe = Map(
     "scala" -> "import pkg\\.(f[0-9]{9})",

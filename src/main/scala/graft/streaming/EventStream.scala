@@ -95,6 +95,24 @@ object EventStream {
       gapMs)
   }
 
+  /** Streaming exact deduplication — the ingest-side twin of
+    * [[graft.functions.Dedup.exact]] for a training-data pipeline that
+    * consumes an event/document stream: drop repeats of the same key within
+    * the watermark horizon. State is bounded by the watermark (old keys are
+    * evicted once the event-time watermark passes), so this runs forever on
+    * an unbounded stream — the property batch dedup cannot give you.
+    * `keys` defaults to the natural event identity; pass a content hash
+    * column for content-based dedup.
+    */
+  def dedupStream(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Batch-equivalent sessionization (same gap semantics) for verification:
     * session boundaries via lag() windows — the DuckDB-oracle-friendly form.
     */

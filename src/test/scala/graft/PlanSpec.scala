@@ -50,6 +50,31 @@ class PlanSpec extends SparkTest {
     assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), plan.take(2000))
   }
 
+  test("lang-partitioned code table prunes partitions at the scan") {
+    val files = graft.sources.CodeTable.generate(spark,
+      graft.sources.GraphSpec(numCycles = 8, maxCycleLen = 6, extraArcsPerVertex = 0.3, seed = 9L))
+    val path = java.nio.file.Files.createTempDirectory("codetbl_").toString + "/files"
+    graft.sources.CodeTable.writePartitioned(files, path)
+    val df = graft.sources.CodeTable.readPartitioned(spark, path)
+      .filter(col("lang") === "py")
+      .select("fileId", "path")
+    val plan = planOf(df)
+    // the lang predicate must be a partition filter (directory pruning),
+    // not a data filter over all rows
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      plan.take(2000))
+    // only the lang=py directory's files are read (4 langs written):
+    // compare the executed scan's numFiles metric with the files on disk
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val readFiles = scan.metrics("numFiles").value
+    val diskFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(readFiles < diskFiles, s"read $readFiles of $diskFiles files")
+  }
+
   test("stats-free checkpoint keeps superstep stats bounded") {
     val s = spark; import s.implicits._
     val arena = new graft.plans.CheckpointArena

@@ -35,6 +35,30 @@ class StreamingSpec extends SparkTest {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops watermark-window repeats, keeps one row per key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // duplicate every event once (same event_id, same ts) — the repeats a
+    // re-delivered ingest produces
+    events.unionByName(events).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(EventStream.schema).parquet(dir)
+    val q = EventStream.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0))
+    val expected = events.select("event_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.length == streamed.toSet.size, "stream emitted duplicate keys")
+    assert(streamed.toSet == expected)
+  }
+
   test("stateful sessionization emits sessions consistent with the batch form") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
