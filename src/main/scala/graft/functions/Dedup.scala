@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
+
+import graft.functions.expr.{MinHashSig, ShingleSet, SimHash64}
 
 /** Deduplication operators for web-scale corpus cleaning — the standard
   * ladder: exact (hash groupBy), MinHash + LSH banding, SimHash, n-gram
@@ -29,16 +31,14 @@ object Dedup {
 
   // ---------- shingles / n-grams ----------
 
-  /** k-token shingles of `text` as an array column (distinct). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-        .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks)))
-          .otherwise(array())))
-  }
+  /** k-token shingles of `text` as an array column (distinct). Native
+    * codegen'd expression — the column-algebra form (transform + slice +
+    * concat_ws over the token array) paid an interpreter dispatch and two
+    * allocations per shingle per row (see
+    * [[graft.functions.expr.VectorKernels]]); output strings identical.
+    */
+  def shingles(text: Column, k: Int): Column =
+    GraftShims.column(ShingleSet(GraftShims.expression(text), k))
 
   /** Exact Jaccard similarity of two shingle-array columns. Two empty sets
     * score 0.0 (not 1.0): a blank document is not a near-duplicate of
@@ -54,23 +54,14 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** MinHash signature (array of `numHashes` longs) over a shingle array.
-    * Hash family h_i(s) = xxhash64(i, s); min over shingles per i.
-    * Empty shingle set → all Long.MaxValue (matches nothing).
-    *
-    * Shape note: the shingle array is the OUTER argument (evaluated once
-    * per row) and the fold runs per shingle. The transposed form —
-    * transform over hash indices with the shingle column referenced inside
-    * the lambda — lets projection collapse inline the (expensive) shingle
-    * expression into the lambda body, where interpreted HOF evaluation
-    * recomputes it once per hash index per row: measured ~16× slower
-    * end-to-end on the documents table.
+    * Hash family h_i(s) = xxhash64(i, s) (bit-identical to the column
+    * form); min over shingles per i. Empty shingle set → all Long.MaxValue
+    * (matches nothing). Native codegen'd expression — the HOF fold form
+    * paid an interpreter dispatch per shingle per hash index
+    * (see [[graft.functions.expr.VectorKernels]]).
     */
   def minhash(shingleArr: Column, numHashes: Int): Column =
-    aggregate(
-      transform(shingleArr, s =>
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b)))
+    GraftShims.column(MinHashSig(GraftShims.expression(shingleArr), numHashes))
 
   /** Candidate near-duplicate pairs via LSH banding of MinHash signatures,
     * verified with exact n-gram Jaccard. Input (id, text); output
@@ -104,10 +95,16 @@ object Dedup {
         xxhash64(col("band"),
           concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
           .as("bucket"))
-    val l = bucketed.select(col("band"), col("bucket"), col("id").as("a"))
-    val r = bucketed.select(col("band"), col("bucket"), col("id").as("b"))
+      // shingle-set size rides along: jaccard >= t forces
+      // min(|A|,|B|) >= t*max(|A|,|B|), so most band-collision noise is
+      // discarded as a cheap scalar predicate before any pair survives to
+      // the distinct + array-intersect verification
+      .join(sh.select(col("id"), size(col("sh")).as("nsh")), Seq("id"))
+    val l = bucketed.select(col("band"), col("bucket"), col("id").as("a"), col("nsh").as("na"))
+    val r = bucketed.select(col("band"), col("bucket"), col("id").as("b"), col("nsh").as("nb"))
     val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
+      .filter(col("a") < col("b") &&
+        col("na") >= lit(threshold) * col("nb") && col("nb") >= lit(threshold) * col("na"))
       .select("a", "b")
       .distinct()
     candidates
@@ -119,32 +116,13 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over the token multiset, as one aggregate fold: for
+  /** 64-bit SimHash over the whitespace token multiset of lower(text): for
     * each bit i, sum ±1 over tokens by the token hash's bit i; bit set iff
-    * the sum is positive.
+    * the sum is positive. Native codegen'd expression (token hash values
+    * bit-identical to the xxhash64 column form this replaces).
     */
-  /** Bit masks 2^0..2^63 as a literal array, for Column-indexed bit ops
-    * (the Scala shiftleft/shiftright API only takes literal Int shifts). */
-  private val bitMasks: Array[Long] = Array.tabulate(64)(i => 1L << i)
-
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(xxhash64(t).bitwiseAND(element_at(typedLit(bitMasks), i + 1)) =!= 0L, 1)
-            .otherwise(-1)),
-        (a, b) => a + b))
-    // pack sign bits into a long: sum of 2^i over positive-count bits
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)), (c, i) => when(c > 0, i).otherwise(-1)),
-      lit(0L),
-      (acc, i) => when(i >= 0, acc.bitwiseOR(element_at(typedLit(bitMasks), i + 1)))
-        .otherwise(acc))
-  }
+  def simhash(text: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(text)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

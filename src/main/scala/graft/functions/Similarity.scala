@@ -1,24 +1,27 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
+
+import graft.functions.expr.{SrpBucket, VectorDot}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`): brute-force cosine top-k as the exactness baseline and
   * a signed-random-projection LSH bucketed variant as the scale path.
-  * Vector math is `zip_with`/`aggregate` column algebra — runs inside
-  * whole-stage codegen, no UDFs.
+  * Vector math runs through native codegen'd Catalyst expressions
+  * ([[graft.functions.expr.VectorDot]] / [[graft.functions.expr.SrpBucket]])
+  * — Spark's higher-order functions evaluate lambdas interpreted, which
+  * made the HOF column-algebra forms ~10× slower (see VectorExpressions).
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (as double). */
+  /** Dot product of two float-array columns (as double); summation order is
+    * left-to-right (stable across engines for the oracle compare). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    GraftShims.column(VectorDot(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** L2 norm of a float-array column. */
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity (0 if either vector is all-zero). */
   def cosine(a: Column, b: Column): Column = {
@@ -55,27 +58,15 @@ object Similarity {
 
   private val bitMasks: Array[Long] = Array.tabulate(63)(i => 1L << i)
 
-  /** Deterministic Rademacher (±1) hyperplane component for plane p, dim j,
-    * under hash-table seed `seed` (independent tables = different seeds). */
-  private def rademacher(seed: Column, p: Column, j: Column): Column =
-    when(pmod(xxhash64(lit(0x5157L), seed, p, j), lit(2)) === 0, 1.0).otherwise(-1.0)
-
   /** Signed-random-projection LSH bucket id over `numPlanes` hyperplanes:
-    * bit p = sign(v · r_p) with r_p a deterministic ±1 vector. Same-bucket
-    * vectors are cosine-close with high probability. `seedCol` selects an
-    * independent hyperplane family (for multi-table LSH).
+    * bit p = sign(v · r_p) with r_p a deterministic ±1 vector (xxhash64
+    * stream keyed by seed/plane/dim). Same-bucket vectors are cosine-close
+    * with high probability. `seedCol` selects an independent hyperplane
+    * family (for multi-table LSH).
     */
   def srpBucket(v: Column, numPlanes: Int, seedCol: Column = lit(0L)): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), p =>
-        struct(p.as("p"),
-          (aggregate(
-            zip_with(v, sequence(lit(0), size(v) - 1),
-              (x, j) => x.cast("double") * rademacher(seedCol, p, j)),
-            lit(0.0), (acc, x) => acc + x) > 0).as("bit"))),
-      lit(0L),
-      (acc, s) => when(s.getField("bit"),
-        acc.bitwiseOR(element_at(typedLit(bitMasks), s.getField("p") + 1))).otherwise(acc))
+    GraftShims.column(SrpBucket(
+      GraftShims.expression(v), GraftShims.expression(seedCol), numPlanes))
 
   /** ANN top-k via SRP-LSH bucketing with multiprobe (each vector also
     * probes the `probes` single-bit-flip neighbor buckets), re-ranked by

@@ -29,6 +29,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object GraftShims {
 
+  /** Wrap a raw Catalyst Expression as a user-facing Column (Spark 4 made
+    * Column node-based; the classic converter lives in a private[sql]
+    * package, re-exposed here for graft's native expressions).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[column]]. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Eagerly materialize `df` into a cached, lineage-truncated RDD and wrap
     * it in a fresh DataFrame with the same schema and output partitioning
     * but default (not inherited) stats. Returns the DataFrame and the
