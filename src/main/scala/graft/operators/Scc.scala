@@ -233,7 +233,7 @@ object Scc {
       .filter(col("src") =!= col("dst"))
     val eBySrc = eClean.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val eByDst = eClean.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    eBySrc.count(); eByDst.count()
+    val numEdges = eBySrc.count(); eByDst.count()
     graft.Log.v(s"scc: edges materialized")
 
     // Finished (id, comp) fragments; each is independently materialized (or
@@ -267,6 +267,18 @@ object Scc {
         round = r + 1
         preTrimFixpoint = false // conservatively run per-round trims
 
+      case None if numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0 =>
+        // ---- whole-graph local-solve shortcut: the ENTIRE edge set fits
+        // one task, so round 0's per-group Tarjan will finish the job in a
+        // single shuffle regardless of partitioning — pre-trim and the WCC
+        // pre-partition would only add ~20 driver actions of pure latency.
+        // One pivot group (0) routes everything to the local solver.
+        preTrimFixpoint = false
+        val lc = arena.freshCounted(verts.select(col("id"), lit(0L).as("pivot")))
+        live = lc._1
+        liveCount = lc._2
+        graft.Log.v(s"scc: $numEdges edges <= localSolveEdgeThreshold — whole-graph local solve")
+
       case None =>
         // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172
         // does the same) — degree-0 peeling needs no partition map, shrinks
@@ -298,14 +310,20 @@ object Scc {
     // ---- skew gate: one co-partitioned degree-max per edge copy. When a
     // hub vertex exceeds the threshold, the BFS pivot-set aggregation
     // switches to the two-level salted build (see Salting.saltedCollectSet).
-    val maxOutDeg = eBySrc.groupBy("src").agg(count(lit(1)).as("c"))
-      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
-    val maxInDeg = eByDst.groupBy("dst").agg(count(lit(1)).as("c"))
-      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
-    val useSalting = maxOutDeg > hubDegreeThreshold || maxInDeg > hubDegreeThreshold
-    if (useSalting)
-      graft.Log.v(s"scc: hub degree ${math.max(maxInDeg, maxOutDeg)} > " +
-        s"$hubDegreeThreshold — salted pivot-set aggregation on")
+    // (computed only when a distributed BFS can happen — a graph that fits
+    // the whole-graph local-solve shortcut never aggregates pivot sets)
+    val useSalting = liveCount > 0 &&
+      !(numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0) && {
+        val maxOutDeg = eBySrc.groupBy("src").agg(count(lit(1)).as("c"))
+          .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+        val maxInDeg = eByDst.groupBy("dst").agg(count(lit(1)).as("c"))
+          .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+        val hot = maxOutDeg > hubDegreeThreshold || maxInDeg > hubDegreeThreshold
+        if (hot)
+          graft.Log.v(s"scc: hub degree ${math.max(maxInDeg, maxOutDeg)} > " +
+            s"$hubDegreeThreshold — salted pivot-set aggregation on")
+        hot
+      }
 
     while (liveCount > 0 && round < maxOuter) {
       // ---- the round's partition-internal live edge table, built ONCE and
