@@ -29,33 +29,27 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** SCC + PageRank measurement at a given core count: `repeat` timed runs
-    * each, best-of taken — the reference's own warmup+repeat protocol
-    * (scc_runner.cu:29-48), which is also the right answer to this
-    * sandbox's noisy-neighbor variance (identical runs measured 2.4x
-    * apart).
+  /** One SCC + one PageRank timed run at a given core count (fresh session;
+    * edge generation/materialization warms the session and is excluded from
+    * the timings, matching the reference's load-excluded protocol,
+    * scc_runner.cu:36-38).
     */
-  private def graphRun(cores: Int, spec: GraphSpec, repeat: Int = 2): (Double, Double, Long) = {
+  private def graphRunOnce(cores: Int, spec: GraphSpec): (Double, Double, Long) = {
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("ERROR")
     try {
       val edges = GraphGen.edges(spark, spec)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val numEdges = edges.count() // warmup + materialize input (load excluded from timing)
+      val numEdges = edges.count()
       val vertices = GraphGen.vertices(spark, spec)
-
-      val sccSec = (0 until repeat).map { _ =>
-        timed {
-          val (comp, _) = Scc.components(spark, edges, vertices)
-          comp.count()
-        }._2
-      }.min
-      val prSec = (0 until repeat).map { _ =>
-        timed {
-          val (ranks, _) = PageRank.run(spark, edges, vertices, tol = 0.0, maxIter = 10)
-          ranks.count()
-        }._2
-      }.min
+      val sccSec = timed {
+        val (comp, _) = Scc.components(spark, edges, vertices)
+        comp.count()
+      }._2
+      val prSec = timed {
+        val (ranks, _) = PageRank.run(spark, edges, vertices, tol = 0.0, maxIter = 10)
+        ranks.count()
+      }._2
       edges.unpersist(false)
       (sccSec, prSec, numEdges)
     } finally {
@@ -63,6 +57,28 @@ object Bench {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+  }
+
+  /** Scaling measurement: `repeat` INTERLEAVED (N-core, 4N-core) run pairs,
+    * per-leg means over the pairs. Interleaving is what makes the ratio
+    * meaningful on this box: the sandbox's noisy neighbor arrives in
+    * multi-minute windows (measured 2.4× swings between identical runs,
+    * whole consecutive-run blocks affected together), so running all N-core
+    * repeats back-to-back and then all 4N-core repeats hands one leg a
+    * different noise environment than the other — alternating legs gives
+    * both the same exposure.
+    */
+  private def scalingRuns(
+      coresN: Int, cores4N: Int, spec: GraphSpec, repeat: Int = 2):
+      (Double, Double, Double, Double, Long) = {
+    val pairs = (0 until repeat).map { _ =>
+      val (s8, p8, m) = graphRunOnce(coresN, spec)
+      val (s32, p32, _) = graphRunOnce(cores4N, spec)
+      (s8, p8, s32, p32, m)
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    (mean(pairs.map(_._1)), mean(pairs.map(_._2)),
+      mean(pairs.map(_._3)), mean(pairs.map(_._4)), pairs.head._5)
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,20 +105,19 @@ object Bench {
     SparkSession.clearDefaultSession()
 
     // ---- part 2: SCC/PageRank scaling at N and 4N parallelism ----
-    // Graph sized to SF: sf0.1 → ~5M vertices / ~9.3M edges (4× the round-1
-    // size: the scaling rule must be measured in the regime where per-step
-    // WORK is visible against the fixed per-stage latency — see
-    // BASELINE.md's efficiency-vs-size series; this is the largest size
-    // that keeps warmup+repeat inside the bench budget). Dense random
-    // shortcuts (1.2 arcs/vertex) keep the giant component's diameter
-    // small — the regime of the reference's own SNAP benchmark graphs — so
-    // BFS depth measures the algorithm, not an adversarial path length.
+    // Graph sized to SF: sf0.1 → ~5M vertices / ~15.3M edges (6.5× the
+    // round-1 edge count: the scaling rule must be measured in the regime
+    // where per-step WORK is visible against the fixed per-step latency —
+    // see BASELINE.md's efficiency-vs-size series and latency accounting).
+    // Dense random shortcuts (2.4 arcs/vertex) put the giant component's
+    // BFS depth at ~22 — the effective-diameter regime of the reference's
+    // own SNAP benchmark graphs (web-Google, LiveJournal) — so BFS depth
+    // measures the algorithm, not an adversarial path length.
     val numCycles = math.max(2000L, (208000 * sf * 40).toLong)
     val spec = GraphSpec(numCycles = numCycles, maxCycleLen = 6,
-      extraArcsPerVertex = 1.2, seed = 42L)
+      extraArcsPerVertex = 2.4, seed = 42L)
     val n = math.max(2, cpus / 4)
-    val (sccN, prN, numEdges) = graphRun(n, spec)
-    val (scc4N, pr4N, _) = graphRun(cpus, spec)
+    val (sccN, prN, scc4N, pr4N, numEdges) = scalingRuns(n, cpus, spec)
 
     val tputN = numEdges / sccN
     val tput4N = numEdges / scc4N

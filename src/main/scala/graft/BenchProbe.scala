@@ -8,10 +8,11 @@ object BenchProbe {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val numCycles = args(1).toLong
+    val arcs = if (args.length > 2 && args(2) != "pr") args(2).toDouble else 1.2
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("ERROR")
     val spec = GraphSpec(numCycles = numCycles, maxCycleLen = 6,
-      extraArcsPerVertex = 1.2, seed = 42L)
+      extraArcsPerVertex = arcs, seed = 42L)
     val edges = GraphGen.edges(spark, spec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = edges.count()
