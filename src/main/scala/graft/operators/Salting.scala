@@ -62,4 +62,20 @@ object Salting {
       .agg(collect_set(col(value)).as("_part"))
       .groupBy(col(key))
       .agg(array_distinct(flatten(collect_list(col("_part")))).as(s"${value}s"))
+
+  /** [[saltedCollectSet]] over rows carrying a boolean direction flag
+    * (`dirCol`): builds BOTH direction sets in the same two-level shuffle —
+    * `collect_set` skips the nulls `when(dir, v)` produces for the other
+    * direction. One exchange instead of two; used by the SCC BFS hop.
+    */
+  def saltedDirectionalCollectSet(
+      df: DataFrame, key: String, value: String, dirCol: String,
+      fwdName: String, bwdName: String, saltFactor: Int = 32): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(value)), lit(saltFactor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_set(when(col(dirCol), col(value))).as("_pf"),
+        collect_set(when(!col(dirCol), col(value))).as("_pb"))
+      .groupBy(col(key))
+      .agg(array_distinct(flatten(collect_list(col("_pf")))).as(fwdName),
+        array_distinct(flatten(collect_list(col("_pb")))).as(bwdName))
 }

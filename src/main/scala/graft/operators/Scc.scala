@@ -20,11 +20,18 @@ import graft.plans.{CheckpointArena, Superstep}
   *     cluster sizes and makes every emitted component id automatically the
   *     canonical min-member id (the pivot of a group is its min id, and the
   *     SCC found around a pivot always contains it).
-  *   - **WCC pre-partitioning**: the reference starts from one global pivot,
-  *     which serializes disconnected components (fine on a GPU where a round
-  *     is microseconds, catastrophic when a round is a Spark job). We seed
-  *     the partition map with weakly-connected-component labels so every
-  *     WCC is processed concurrently from round one.
+  *   - **Degree-product pivot + deferred WCC refinement**: the reference
+  *     starts from one arbitrary global pivot and serializes disconnected
+  *     components (fine on a GPU where a round is microseconds,
+  *     catastrophic when a round is a Spark job). We pick the round-0
+  *     pivot by max live in×out degree (inside the giant SCC w.h.p. —
+  *     the standard parallel-SCC pivot heuristic, Hong et al. PPoPP'13),
+  *     and from round 1 on refine the partition map with WCC labels of
+  *     the live REMAINDER whenever it is too big to local-solve: every
+  *     weak component then proceeds concurrently, at a WCC cost
+  *     proportional to the remainder instead of the whole input (a full
+  *     up-front WCC was measured at 1/3 of SCC convergence wall on the
+  *     giant-component bench graph while buying nothing there).
   *   - **Trim-2** (north-star extension): mutual pairs whose only live
   *     in-edges (or only live out-edges) are each other are closed as size-2
   *     SCCs before pivoting, on top of the reference's trim-1
@@ -98,16 +105,43 @@ object Scc {
       val (removed, _) = arena.freshCounted(degs.filter(col("dead")).select("id"))
       partBacking += removed
       assignedParts += removed.select(col("id"), col("id").as("comp"))
-      val decIn = edgesBySrc
-        .join(broadcast(removed.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
-        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("dIn"))
-      val decOut = edgesByDst
-        .join(broadcast(removed.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
-        .groupBy(col("src").as("id")).agg(count(lit(1)).as("dOut"))
+      // Decrement counters of the removed set's neighbors. Typical sweep:
+      // removed is small → ONE pass over one edge copy with two broadcast
+      // hash probes emits both decrement directions (the naive form scanned
+      // the edge table twice per sweep — measured as the bulk of pre-trim
+      // wall). Huge sweep (first sweep of a peel-heavy graph at scale):
+      // broadcasting `removed` would not fit — fall back to two semi-joins
+      // that each reuse an existing edge partitioning, shuffling only
+      // `removed`.
+      val dec =
+        if (deadCnt <= 5000000L) {
+          val remSrc = broadcast(removed.select(col("id").as("src"), lit(1).as("_rs")))
+          val remDst = broadcast(removed.select(col("id").as("dst"), lit(1).as("_rd")))
+          edgesBySrc
+            .join(remSrc, Seq("src"), "left")
+            .join(remDst, Seq("dst"), "left")
+            .filter(col("_rs").isNotNull || col("_rd").isNotNull)
+            .select(explode(array(
+              when(col("_rs").isNotNull,
+                struct(col("dst").as("id"), lit(1L).as("dIn"), lit(0L).as("dOut"))),
+              when(col("_rd").isNotNull,
+                struct(col("src").as("id"), lit(0L).as("dIn"), lit(1L).as("dOut")))))
+              .as("e"))
+            .filter(col("e").isNotNull)
+            .select(col("e.id").as("id"), col("e.dIn").as("dIn"), col("e.dOut").as("dOut"))
+            .groupBy("id").agg(sum("dIn").as("dIn"), sum("dOut").as("dOut"))
+        } else {
+          edgesBySrc
+            .join(removed.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+            .select(col("dst").as("id"), lit(1L).as("dIn"), lit(0L).as("dOut"))
+            .unionByName(edgesByDst
+              .join(removed.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+              .select(col("src").as("id"), lit(0L).as("dIn"), lit(1L).as("dOut")))
+            .groupBy("id").agg(sum("dIn").as("dIn"), sum("dOut").as("dOut"))
+        }
       val next = arena.freshFlagged(
         degs.filter(!col("dead")).drop("dead")
-          .join(decIn, Seq("id"), "left")
-          .join(decOut, Seq("id"), "left")
+          .join(dec, Seq("id"), "left")
           .select(proj(col("oc") - coalesce(col("dOut"), lit(0L)),
             col("ic") - coalesce(col("dIn"), lit(0L))): _*)
           .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
@@ -281,30 +315,42 @@ object Scc {
 
       case None =>
         // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172
-        // does the same) — degree-0 peeling needs no partition map, shrinks
-        // both the WCC input and the first FW-BW round. The two initial
-        // degree aggregations reuse the two persisted edge partitionings
-        // (both exchange-free).
+        // does the same) — degree-0 peeling needs no partition map and
+        // shrinks the first FW-BW round. The two initial degree
+        // aggregations reuse the two persisted edge partitionings (both
+        // exchange-free).
         val (degs, _, preTrimmed, preSweeps) = trimFixpoint(
           arena, eBySrc, eByDst, verts, maxTrimSweeps, assignedParts, partBacking)
         preTrimFixpoint = preSweeps < maxTrimSweeps
         graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweeps sweeps")
 
-        // WCC pre-partition of the trimmed remainder: SCCs never span weak
-        // components, so use the WCC label (a min member id, hence a valid
-        // pivot) as the initial partition.
-        val preLive = degs.select("id")
-        val liveEdges0 = eBySrc
-          .join(preLive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-          .join(preLive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        val (wcc, wccMetrics) = Wcc.run(spark, liveEdges0, preLive)
-        graft.Log.v(s"scc: wcc done in ${wccMetrics.size} supersteps")
-
-        val lc = arena.freshCounted(
-          preLive.join(wcc, Seq("id")).select(col("id"), col("comp").as("pivot")))
+        // Round-0 pivot: the live vertex maximizing live-degree product
+        // (in×out), ties to min id — the standard FW-BW pivot heuristic
+        // (Hong et al., PPoPP'13): it lands inside the giant SCC with high
+        // probability, so round 0 extracts the giant component directly.
+        // The WCC pre-partition that used to run here is DEFERRED to the
+        // post-giant remainder (see the in-loop refinement below): on
+        // web-shaped graphs the giant weak component is most of the graph,
+        // and a full-graph WCC (O(E) shuffles × its own superstep rounds)
+        // bought nothing that one FW-BW round doesn't — measured 138 s of
+        // a 418 s convergence at the 15.3M-edge bench point.
+        // degs still carries the trim fixpoint's live oc/ic counters, so
+        // the argmax is one small agg on the already-materialized frame.
+        val pivotRow = degs
+          .agg(max(struct((col("oc") * col("ic")).as("p"), (-col("id")).as("negId"))))
+          .head()
+        if (!pivotRow.isNullAt(0)) {
+          val pivot0 = -pivotRow.getStruct(0).getLong(1)
+          graft.Log.v(s"scc: round-0 pivot $pivot0 by degree product")
+          val lc = arena.freshCounted(
+            degs.select(col("id"), lit(pivot0).as("pivot")))
+          live = lc._1
+          liveCount = lc._2
+        } else {
+          live = arena.fresh(verts.select(col("id"), col("id").as("pivot")).limit(0))
+          liveCount = 0L
+        }
         arena.release(degs)
-        live = lc._1
-        liveCount = lc._2
     }
 
     // ---- skew gate: one co-partitioned degree-max per edge copy. When a
@@ -331,12 +377,48 @@ object Scc {
       // re-joined live⨝edges separately for every consumer and every trim
       // sweep — at 100 TB each of those was a full O(E) shuffle).
       val lp = live.select(col("id"), col("pivot"))
-      val (le, _) = arena.freshCounted(
+      var (le, leCnt) = arena.freshCounted(
         eBySrc
           .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
           .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
           .filter(col("srcP") === col("dstP"))
           .select(col("srcP").as("pivot"), col("src"), col("dst")))
+
+      // ---- deferred WCC partition refinement (rounds ≥ 1): a recolor can
+      // leave one partition holding MANY weak components (all of "neither"
+      // after the giant SCC is cut out), which pure FW-BW then processes one
+      // pivot at a time — the serialization the reference suffers from its
+      // single global pivot. Refining the partition map with WCC labels of
+      // the partition-INTERNAL live subgraph gives every weak component its
+      // own pivot, at a cost proportional to the REMAINDER, not the input
+      // graph (the round-1 remainder of a web-shaped graph is the ~1% that
+      // isn't the giant component). Skipped while the remainder fits one
+      // local-solve task — Tarjan finishes it cheaper than WCC would.
+      // Labels refine (never merge) partitions: le edges satisfy
+      // srcP === dstP, so a weak component of le stays inside one partition,
+      // and each label set is still a union of SCCs.
+      if (round >= 1 && leCnt > localSolveEdgeThreshold) {
+        val (wcc, wccMetrics) = Wcc.run(spark, le.select("src", "dst"), live.select("id"))
+        arena.adopt(wcc)
+        val (nl, _) = arena.freshCounted(
+          live.select("id").join(wcc, Seq("id"))
+            .select(col("id"), col("comp").as("pivot"))
+            .repartition(col("id")))
+        arena.release(wcc)
+        arena.release(live)
+        live = nl
+        // relabel le rather than rebuilding it from eBySrc: srcP === dstP
+        // and labels refine partitions, so src's new pivot == dst's.
+        val (nle, _) = arena.freshCounted(
+          le.select("src", "dst")
+            .join(nl.select(col("id").as("src"), col("pivot")), Seq("src"))
+            .select(col("pivot"), col("src"), col("dst")))
+        arena.release(le)
+        le = nle
+        graft.Log.v(s"scc round $round: WCC-refined remainder " +
+          s"($liveCount rows, $leCnt edges) in ${wccMetrics.size} supersteps")
+      }
+
       // logically-current view of le; narrowed as pivots retire within the
       // round (le itself stays immutable; the filters are broadcast
       // anti-joins against small materialized frames)
@@ -484,36 +566,42 @@ object Scc {
         // an empty last hop means the whole reach is complete).
         val hop: DataFrame => DataFrame = { st =>
           // Frontier expansion. Join shapes chosen so the big sides never
-          // move: frontier(id) x eBySrc(src) is co-partitioned; the
-          // per-target pivot sets aggregate by id (map-side partial
-          // collect_set — hub targets combine before the shuffle) and join
-          // back to the id-partitioned state — per-step shuffle bytes are
-          // O(frontier out-degree); the state itself is rewritten narrowly
-          // (no state shuffle). A visited-set/frontier-piece representation
-          // was measured SLOWER here: once the giant component is most of
-          // the state, scanning the visited pieces each step costs what the
-          // state rewrite costs, plus a per-step anti-join chain.
-          def pivotSets(frontier: DataFrame, eTbl: DataFrame,
-              joinOn: String, tgt: String, outCol: String): DataFrame = {
+          // move: frontier(id) x eBySrc(src) is co-partitioned; fw and bw
+          // hits are unioned with a direction flag and aggregated by id in
+          // ONE exchange (`collect_set` skips the nulls `when(dir, pivot)`
+          // produces for the other direction — map-side partial collect_set
+          // still combines hub targets before the shuffle), then joined
+          // back to the id-partitioned state once — per-step shuffle bytes
+          // are O(frontier degree), and the fixed per-step cost is one
+          // shuffle stage + one state-rewrite join instead of two of each
+          // (the fixed per-step cost is the scaling-efficiency limiter at
+          // sandbox sizes; BASELINE.md). A visited-set/frontier-piece
+          // representation was measured SLOWER here: once the giant
+          // component is most of the state, scanning the visited pieces
+          // each step costs what the state rewrite costs, plus a per-step
+          // anti-join chain.
+          def hitRows(frontier: DataFrame, eTbl: DataFrame,
+              joinOn: String, tgt: String, fwd: Boolean): DataFrame = {
             // fresh aliases per call: the same edge Dataset appears once per
             // hop in the composed plan, and dataset-qualified refs would
             // trip DetectAmbiguousSelfJoin (the re-aliasing projection is a
             // no-op physically — it collapses into the scan)
             val e = eTbl.select(col(joinOn).as("_eFrom"), col(tgt).as("_eTo"))
-            val hit = frontier.join(e, col("id") === col("_eFrom"))
-              .select(col("_eTo").as("id"), col("pivot"))
-            if (useSalting)
-              Salting.saltedCollectSet(hit, "id", "pivot")
-                .withColumnRenamed("pivots", outCol)
-            else hit.groupBy("id").agg(collect_set(col("pivot")).as(outCol))
+            frontier.join(e, col("id") === col("_eFrom"))
+              .select(col("_eTo").as("id"), col("pivot"), lit(fwd).as("_fwd"))
           }
-          val fwHits = pivotSets(st.filter(col("fwNew")).select(col("id"), col("pivot")),
-            eBySrc, "src", "dst", "fwPs")
-          val bwHits = pivotSets(st.filter(col("bwNew")).select(col("id"), col("pivot")),
-            eByDst, "dst", "src", "bwPs")
+          val hits = hitRows(st.filter(col("fwNew")).select(col("id"), col("pivot")),
+            eBySrc, "src", "dst", fwd = true)
+            .unionByName(hitRows(st.filter(col("bwNew")).select(col("id"), col("pivot")),
+              eByDst, "dst", "src", fwd = false))
+          val pivotSets =
+            if (useSalting)
+              Salting.saltedDirectionalCollectSet(hits, "id", "pivot", "_fwd", "fwPs", "bwPs")
+            else hits.groupBy("id").agg(
+              collect_set(when(col("_fwd"), col("pivot"))).as("fwPs"),
+              collect_set(when(!col("_fwd"), col("pivot"))).as("bwPs"))
           st.drop("fwNew", "bwNew")
-            .join(fwHits, Seq("id"), "left")
-            .join(bwHits, Seq("id"), "left")
+            .join(pivotSets, Seq("id"), "left")
             .select(
               col("id"), col("pivot"),
               (col("fw") || coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fw"),

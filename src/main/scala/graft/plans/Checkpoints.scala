@@ -38,6 +38,19 @@ final class CheckpointArena {
     (out, n, flagged)
   }
 
+  /** Track a checkpointed frame produced elsewhere (e.g. a sub-algorithm's
+    * result whose own arena kept it alive) so this arena can [[release]]
+    * its cached blocks once consumed. No-op for non-checkpointed frames.
+    */
+  def adopt(df: DataFrame): DataFrame = {
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        backing.put(df, lr.rdd.asInstanceOf[RDD[InternalRow]])
+      case _ =>
+    }
+    df
+  }
+
   /** Unpersist the blocks behind a superseded state (no-op for unknown). */
   def release(df: DataFrame): Unit = {
     val rdd = backing.remove(df)

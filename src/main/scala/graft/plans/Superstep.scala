@@ -76,6 +76,7 @@ final class Superstep(
       state = next
       val wallMs = (System.nanoTime() - t0) / 1000000
       metrics += StepMetrics(iter, changed, wallMs)
+      graft.Log.v(s"superstep $name iter=$iter changed=$changed wallMs=$wallMs")
       snapshotDir.foreach { dir =>
         val snap = iter % snapshotEvery == 0 || changed == 0
         val snapPath = if (snap) {
