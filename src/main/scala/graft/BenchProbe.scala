@@ -17,18 +17,22 @@ object BenchProbe {
     // count over the timed region — (wall − taskTime/cores) ≈ the fixed
     // driver/scheduling term the scaling accounting in BASELINE.md names
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        cpuMs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime / 1000000)
+        gcMs.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
         stages.incrementAndGet()
       }
     })
     val edges = GraphGen.edges(spark, spec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = edges.count()
-    taskMs.set(0); stages.set(0)
+    taskMs.set(0); cpuMs.set(0); gcMs.set(0); stages.set(0)
     val t0 = System.nanoTime()
     if (args.length > 2 && args(2) == "pr") {
       val (ranks, _) = graft.operators.PageRank.run(
@@ -41,7 +45,7 @@ object BenchProbe {
       val cnt = comp.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val bfsTotal = metrics.map(_.bfsSteps).sum
-      println(f"cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f tput=${m / sec}%.0f e/s rounds=${metrics.size} bfsSteps=$bfsTotal stages=${stages.get} taskSec=${taskMs.get / 1e3}%.1f parShare=${taskMs.get / 1e3 / cores / sec}%.2f")
+      println(f"cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f tput=${m / sec}%.0f e/s rounds=${metrics.size} bfsSteps=$bfsTotal stages=${stages.get} taskSec=${taskMs.get / 1e3}%.1f cpuSec=${cpuMs.get / 1e3}%.1f gcSec=${gcMs.get / 1e3}%.1f parShare=${taskMs.get / 1e3 / cores / sec}%.2f cpuShare=${cpuMs.get / 1e3 / cores / sec}%.2f")
     }
     spark.stop()
   }

@@ -287,6 +287,9 @@ object Scc {
     // whether the global pre-trim reached its fixpoint (used to skip the
     // provably-empty round-0 trim — see below)
     var preTrimFixpoint = true
+    // whether `live` is known hash(id)-partitioned (lets the BFS seed skip
+    // an explicit repartition when the relabel pass is also skipped)
+    var liveIdPart = false
 
     snaps.flatMap(_.resume()) match {
       case Some((liveDf, parts, r, lc)) =>
@@ -298,6 +301,7 @@ object Scc {
         assignedParts ++= parts
         live = arena.fresh(liveDf.repartition(col("id")))
         liveCount = lc
+        liveIdPart = true
         round = r + 1
         preTrimFixpoint = false // conservatively run per-round trims
 
@@ -346,6 +350,7 @@ object Scc {
             degs.select(col("id"), lit(pivot0).as("pivot")))
           live = lc._1
           liveCount = lc._2
+          liveIdPart = true // degs is id-joined throughout trimFixpoint
         } else {
           live = arena.fresh(verts.select(col("id"), col("id").as("pivot")).limit(0))
           liveCount = 0L
@@ -407,6 +412,7 @@ object Scc {
         arena.release(wcc)
         arena.release(live)
         live = nl
+        liveIdPart = true
         // relabel le rather than rebuilding it from eBySrc: srcP === dstP
         // and labels refine partitions, so src's new pivot == dst's.
         val (nle, _) = arena.freshCounted(
@@ -459,6 +465,7 @@ object Scc {
           arena.release(live)
           live = nl._1
           liveCount = nl._2
+          liveIdPart = false // anti-join may have re-partitioned by pivot
           leLive = le.join(smallPivots, Seq("pivot"), "left_anti")
         } else arena.release(solved)
       }
@@ -483,6 +490,7 @@ object Scc {
             arena.release(live)
             live = degsR // (id, pivot) survivors; oc/ic/dead ride along unused
             liveCount = remaining
+            liveIdPart = true
           } else arena.release(degsR)
         }
 
@@ -538,21 +546,33 @@ object Scc {
         // ---- fw+bw reach from each partition's pivot, restricted to the
         // partition (reach_kernel, main.cpp:65-87; both directions in one
         // DAG = the v7 shape).
-        // First re-elect each group's pivot as its min live id: trims may
-        // have assigned the old pivot away, which would leave the group
-        // seedless. min(live member) keeps the invariant "pivot ∈ group ∧
-        // pivot = min(group)", so the SCC found around it is canonically
-        // labeled. The relabeled state is NOT separately checkpointed — it
-        // flows lazily into the superstep harness's own state0 checkpoint
-        // (one action instead of two); the explicit id-repartition makes
-        // the checkpointed state hash(id)-partitioned (the relabel join
-        // would otherwise leave it pivot-partitioned: giant-component skew
-        // AND a step-1 re-exchange).
-        val relabel = live.groupBy("pivot").agg(min("id").as("newP"))
-        val bfs0 = live.select("id", "pivot")
-          .join(relabel, Seq("pivot"))
-          .select(col("id"), col("newP").as("pivot"))
-          .repartition(col("id"))
+        // If a trim removed vertices THIS round, re-elect each group's pivot
+        // as its min live id: the old pivot may be gone, which would leave
+        // the group seedless. When nothing was removed since pivots were
+        // elected (pivot0 / WCC label / recolor newPivot — all live members
+        // by construction), the O(live) groupBy+join re-election pass is
+        // skipped entirely — on a giant-component round 0 that pass was
+        // ~10% of wall, and skipping it is also what lets the round-0
+        // degree-product pivot actually seed the reach (canonical comp
+        // labels no longer depend on the seed: emission uses newPivot).
+        // The seeded state is NOT separately checkpointed — it flows lazily
+        // into the superstep harness's own state0 checkpoint (one action
+        // instead of two); hash(id)-partitioning is ensured here (relabel
+        // join output is pivot-partitioned: giant-component skew AND a
+        // step-1 re-exchange; recolor output likewise) unless the live
+        // frame is already known id-partitioned.
+        val seeded =
+          if (trimmedTotal == 0 && pairTrimmed == 0) {
+            val base = live.select("id", "pivot")
+            if (liveIdPart) base else base.repartition(col("id"))
+          } else {
+            val relabel = live.groupBy("pivot").agg(min("id").as("newP"))
+            live.select("id", "pivot")
+              .join(relabel, Seq("pivot"))
+              .select(col("id"), col("newP").as("pivot"))
+              .repartition(col("id"))
+          }
+        val bfs0 = seeded
           .withColumn("fw", col("id") === col("pivot"))
           .withColumn("bw", col("id") === col("pivot"))
           .withColumn("fwNew", col("fw")).withColumn("bwNew", col("bw"))
@@ -632,8 +652,11 @@ object Scc {
         sccRows = doneCnt
         if (doneCnt > 0) {
           partBacking += recolored
+          // comp label = newPivot = min(id) over the done color group = the
+          // SCC's min member: canonical REGARDLESS of which live member
+          // seeded the reach (lets round 0 keep its degree-product pivot).
           assignedParts += recolored.filter(col("done"))
-            .select(col("id"), col("pivot").as("comp"))
+            .select(col("id"), col("newPivot").as("comp"))
         }
         val (nl, nlCnt) = arena.freshCounted(
           recolored.filter(!col("done"))
@@ -641,6 +664,7 @@ object Scc {
         if (doneCnt == 0) arena.release(recolored)
         live = nl
         liveCount = nlCnt
+        liveIdPart = false // recolor join leaves (pivot,fw,bw) partitioning
       }
       arena.release(le)
       graft.Log.v(s"scc round $round: local=$localSolved trimmed=$trimmedTotal " +

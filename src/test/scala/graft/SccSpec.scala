@@ -37,6 +37,14 @@ class SccSpec extends SparkTest {
       Seq((base, base + 1), (base + 1, base + 2), (base + 2, base))
     }
     checkDecomposition(edges, (0L until 60L))
+    // Behavioral pin of the deferred-WCC partition refinement: round 0
+    // extracts one cycle (single degree-product pivot), round 1's WCC
+    // refinement must then give every remaining weak component its own
+    // pivot — 20 components may not serialize into ~20 rounds.
+    val (got, metrics) = Scc.components(spark, edgesDf(edges),
+      vertsDf(0L until 60L), localSolveEdgeThreshold = 0)
+    got.count()
+    assert(metrics.size <= 3, s"rounds=${metrics.size}")
   }
 
   test("mutual pair (trim-2 shape)") {
