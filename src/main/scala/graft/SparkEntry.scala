@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Similarity, TextAnalysis}
-import graft.operators.{Degrees, PageRank, Scc, Triangles, Wcc}
+import graft.operators.{Degrees, LabelProp, PageRank, Scc, Triangles, Wcc}
 import graft.sources.{CodeTable, GraphSpec}
 import graft.streaming.EventStream
 
@@ -278,6 +278,24 @@ object SparkEntry {
         .join(files.select(col("fileId").as("src"), col("lang")), Seq("src"))
         .groupBy("lang").agg(count(lit(1)).as("n_edges"))
         .orderBy("lang")
+    }),
+
+    // Seeded label propagation over the import-edge graph: every 10th file
+    // carries its language as a clamped seed label; 3 synchronous
+    // majority-of-in-neighbors rounds (min-label tie-break) spread it along
+    // imports. Deterministic, so the oracle unrolls the same recurrence.
+    "q_label_prop" -> ((s, _) => {
+      val spec = GraphSpec(numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L)
+      val files = CodeTable.generate(s, spec)
+      val langId = when(col("lang") === "c", 0L).when(col("lang") === "py", 1L)
+        .when(col("lang") === "java", 2L).otherwise(3L)
+      LabelProp.run(s,
+        CodeTable.extractEdges(files),
+        files.select(col("fileId").as("id")),
+        files.filter(col("fileId") % 10 === 0)
+          .select(col("fileId").as("id"), langId.as("label")),
+        iterations = 3)
+        .orderBy("id")
     }))
 
   /** DuckDB PageRank oracle: the 20-iteration recurrence unrolled as chained
@@ -417,6 +435,53 @@ object SparkEntry {
         |SELECT f.lang, count(*) AS n_edges
         |FROM e2 JOIN files f ON e2.src = f.fileId
         |GROUP BY f.lang ORDER BY f.lang""".stripMargin,
+
+    // LabelProp.run's recurrence unrolled: round k = count labels arriving
+    // over in-edges, rank (count DESC, label ASC), coalesce(seed, winner,
+    // previous). Same code-table parquet hand-off as q_import_edges.
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { k =>
+        val p = k - 1
+        s"""c$k AS (
+           |  SELECT e2.dst AS id, s$p.label AS lab, count(*) AS c
+           |  FROM e2 JOIN s$p ON e2.src = s$p.id
+           |  WHERE s$p.label IS NOT NULL GROUP BY 1, 2),
+           |w$k AS (
+           |  SELECT id, lab,
+           |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+           |  FROM c$k),
+           |s$k AS (
+           |  SELECT s$p.id, s$p.seed,
+           |    coalesce(s$p.seed, b$k.lab, s$p.label) AS label
+           |  FROM s$p LEFT JOIN (SELECT id, lab FROM w$k WHERE rn = 1) b$k
+           |    ON s$p.id = b$k.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH files AS (
+        |  SELECT * FROM read_parquet('${Verify.auxCodeTablePath}/*.parquet')),
+        |refs AS (
+        |  SELECT fileId AS src,
+        |    unnest(regexp_extract_all(content,
+        |      CASE WHEN lang = 'c' THEN '#include "(f[0-9]{9})\\.h"'
+        |           WHEN lang = 'py' THEN 'import (f[0-9]{9})'
+        |           ELSE 'import pkg\\.(f[0-9]{9})' END, 1)) AS stem
+        |  FROM files),
+        |stems AS (
+        |  SELECT regexp_extract(path, '(f[0-9]{9})', 1) AS stem, fileId AS dst
+        |  FROM files),
+        |e2 AS (SELECT DISTINCT src, dst FROM refs JOIN stems USING (stem)),
+        |s0 AS (
+        |  SELECT f.fileId AS id,
+        |    CASE WHEN f.fileId % 10 <> 0 THEN NULL
+        |         WHEN f.lang = 'c' THEN 0 WHEN f.lang = 'py' THEN 1
+        |         WHEN f.lang = 'java' THEN 2 ELSE 3 END AS seed,
+        |    CASE WHEN f.fileId % 10 <> 0 THEN NULL
+        |         WHEN f.lang = 'c' THEN 0 WHEN f.lang = 'py' THEN 1
+        |         WHEN f.lang = 'java' THEN 2 ELSE 3 END AS label
+        |  FROM files f),
+        |$rounds
+        |SELECT id, CAST(coalesce(label, -1) AS BIGINT) AS label
+        |FROM s3 ORDER BY id""".stripMargin
+    },
 
     "q_scan_filter" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem

@@ -107,3 +107,63 @@ class DegreesSpec extends SparkTest {
       3L -> ((1L, 0L)), 4L -> ((0L, 0L))))
   }
 }
+
+class LabelPropSpec extends SparkTest {
+  import graft.operators.LabelProp
+
+  private def seedsDf(seeds: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    seeds.toDF("id", "label")
+  }
+
+  test("clamping, majority vote, min-label tie-break, multi-hop, unreached") {
+    // seeds: 0->5, 1->7, 5->7. Vertex 2's in-labels {5,7} tie -> min 5;
+    // vertex 4's in-labels {5,7,7} -> majority 7; vertex 3 is two hops from
+    // any seed (via 2) -> labeled only in round 2; vertex 6 unreached -> -1.
+    val edges = Seq((0L, 2L), (1L, 2L), (0L, 4L), (1L, 4L), (5L, 4L), (2L, 3L))
+    val got = LabelProp.run(spark, edgesDf(edges), vertsDf(0L to 6L),
+      seedsDf(Seq((0L, 5L), (1L, 7L), (5L, 7L))), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 5L, 1L -> 7L, 2L -> 5L, 3L -> 5L, 4L -> 7L,
+      5L -> 7L, 6L -> -1L))
+  }
+
+  test("one round stops after one hop") {
+    val edges = Seq((0L, 1L), (1L, 2L))
+    val got = LabelProp.run(spark, edgesDf(edges), vertsDf(0L to 2L),
+      seedsDf(Seq((0L, 9L))), iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 9L, 1L -> 9L, 2L -> -1L))
+  }
+
+  test("generated graph matches the synchronous reference recurrence") {
+    val spec = GraphSpec(numCycles = 25, maxCycleLen = 7, extraArcsPerVertex = 0.5, seed = 9L)
+    val edges = GraphGen.edges(spark, spec).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val verts = 0L until spec.numVertices
+    val seeds = verts.filter(_ % 7 == 0).map(v => v -> v % 3).toMap
+    val iters = 3
+
+    var lab: Map[Long, Option[Long]] = verts.map(v => v -> seeds.get(v)).toMap
+    val inN = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    for (_ <- 1 to iters) {
+      lab = verts.map { v =>
+        seeds.get(v) match {
+          case Some(s) => v -> Option(s)
+          case None =>
+            val labs = inN.getOrElse(v, Nil).flatMap(lab(_))
+            if (labs.isEmpty) v -> lab(v)
+            else v -> Some(labs.groupBy(identity).toSeq
+              .map { case (l, c) => (l, c.size) }
+              .minBy { case (l, c) => (-c, l) }._1)
+        }
+      }.toMap
+    }
+    val expected = lab.map { case (v, o) => v -> o.getOrElse(-1L) }
+
+    val got = LabelProp.run(spark, edgesDf(edges), vertsDf(verts),
+      seedsDf(seeds.toSeq), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
