@@ -20,13 +20,23 @@ object BenchProbe {
     val cpuMs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
+    // per-callsite attribution: stage name carries the materializing call
+    val byName = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
-        cpuMs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime / 1000000)
-        gcMs.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
+        val m = sc.stageInfo.taskMetrics
+        taskMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000)
+        gcMs.addAndGet(m.jvmGCTime)
         stages.incrementAndGet()
+        val key = sc.stageInfo.name.takeWhile(_ != '+').trim
+        byName.computeIfAbsent(key, _ => Array(0L, 0L, 0L, 0L))
+          .synchronized {
+            val a = byName.get(key)
+            a(0) += 1; a(1) += m.executorRunTime
+            a(2) += m.executorCpuTime / 1000000; a(3) += m.jvmGCTime
+          }
       }
     })
     val edges = GraphGen.edges(spark, spec)
@@ -46,6 +56,10 @@ object BenchProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val bfsTotal = metrics.map(_.bfsSteps).sum
       println(f"cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f tput=${m / sec}%.0f e/s rounds=${metrics.size} bfsSteps=$bfsTotal stages=${stages.get} taskSec=${taskMs.get / 1e3}%.1f cpuSec=${cpuMs.get / 1e3}%.1f gcSec=${gcMs.get / 1e3}%.1f parShare=${taskMs.get / 1e3 / cores / sec}%.2f cpuShare=${cpuMs.get / 1e3 / cores / sec}%.2f")
+      import scala.jdk.CollectionConverters._
+      byName.asScala.toSeq.sortBy(-_._2(1)).take(12).foreach { case (k, a) =>
+        println(f"  stage ${a(0)}%3d× run=${a(1) / 1e3}%7.1fs cpu=${a(2) / 1e3}%7.1fs gc=${a(3) / 1e3}%6.1fs  $k")
+      }
     }
     spark.stop()
   }

@@ -29,6 +29,21 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object GraftShims {
 
+  /** Storage level for superstep checkpoint blocks. Serialized storage
+    * (GRAFT_CKPT_SER=1) keeps each cached partition as one buffer instead
+    * of millions of resident UnsafeRow objects, trading per-scan
+    * deserialization for old-gen GC pressure. A/B at the 15.3M-edge bench
+    * point (local[32]): serialized measured 25% SLOWER end-to-end —
+    * checkpoint-stage CPU doubled (1.0k→2.2k cpu-sec) while GC fell only
+    * ~250 task-sec, so the deserialized default stands; the knob stays as
+    * a diagnostic for memory-constrained deployments where cache spill,
+    * not CPU, binds.
+    */
+  private val ckptLevel =
+    if (sys.env.get("GRAFT_CKPT_SER").contains("1"))
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Wrap a raw Catalyst Expression as a user-facing Column (Spark 4 made
     * Column node-based; the classic converter lives in a private[sql]
     * package, re-exposed here for graft's native expressions).
@@ -68,6 +83,7 @@ object GraftShims {
       if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1L)
       r.copy()
     }
+    rdd.persist(ckptLevel)
     rdd.localCheckpoint()
     val n = rdd.count()
     val physical = qe.executedPlan match {
@@ -85,7 +101,8 @@ object GraftShims {
     val qe = df.queryExecution
     // toRdd rows are reused per-partition buffers; copy before caching.
     val rdd = qe.toRdd.map(_.copy())
-    rdd.localCheckpoint() // persist + mark RDD lineage truncation
+    rdd.persist(ckptLevel)
+    rdd.localCheckpoint() // mark RDD lineage truncation
     val n = rdd.count()   // materialize now (finalizes the AQE plan too)
     // AdaptiveSparkPlanExec reports UnknownPartitioning at the top even
     // after finalization — unwrap to the final physical plan or the
