@@ -290,6 +290,14 @@ object Scc {
     // whether `live` is known hash(id)-partitioned (lets the BFS seed skip
     // an explicit repartition when the relabel pass is also skipped)
     var liveIdPart = false
+    // whether the CURRENT round's live state is known to carry exactly one
+    // pivot (the round-0 degree-product seed): the BFS hop then replaces
+    // the per-target pivot-set (collect_set array) aggregation with a
+    // boolean hit-flag aggregation — shuffle rows shrink to (id, dir) and
+    // no arrays are built or compared. On web-shaped graphs that round
+    // carries 80-95% of all BFS work. Trims/relabel preserve the property
+    // (one group maps to one group); WCC refinement and recolor clear it.
+    var singlePivot = false
 
     snaps.flatMap(_.resume()) match {
       case Some((liveDf, parts, r, lc)) =>
@@ -351,6 +359,7 @@ object Scc {
           live = lc._1
           liveCount = lc._2
           liveIdPart = true // degs is id-joined throughout trimFixpoint
+          singlePivot = true
         } else {
           live = arena.fresh(verts.select(col("id"), col("id").as("pivot")).limit(0))
           liveCount = 0L
@@ -413,6 +422,7 @@ object Scc {
         arena.release(live)
         live = nl
         liveIdPart = true
+        singlePivot = false
         // relabel le rather than rebuilding it from eBySrc: srcP === dstP
         // and labels refine partitions, so src's new pivot == dst's.
         val (nle, _) = arena.freshCounted(
@@ -607,28 +617,48 @@ object Scc {
             // trip DetectAmbiguousSelfJoin (the re-aliasing projection is a
             // no-op physically — it collapses into the scan)
             val e = eTbl.select(col(joinOn).as("_eFrom"), col(tgt).as("_eTo"))
-            frontier.join(e, col("id") === col("_eFrom"))
-              .select(col("_eTo").as("id"), col("pivot"), lit(fwd).as("_fwd"))
+            val cols =
+              if (singlePivot) Seq(col("_eTo").as("id"), lit(fwd).as("_fwd"))
+              else Seq(col("_eTo").as("id"), col("pivot"), lit(fwd).as("_fwd"))
+            frontier.join(e, col("id") === col("_eFrom")).select(cols: _*)
           }
           val hits = hitRows(st.filter(col("fwNew")).select(col("id"), col("pivot")),
             eBySrc, "src", "dst", fwd = true)
             .unionByName(hitRows(st.filter(col("bwNew")).select(col("id"), col("pivot")),
               eByDst, "dst", "src", fwd = false))
-          val pivotSets =
-            if (useSalting)
-              Salting.saltedDirectionalCollectSet(hits, "id", "pivot", "_fwd", "fwPs", "bwPs")
-            else hits.groupBy("id").agg(
-              collect_set(when(col("_fwd"), col("pivot"))).as("fwPs"),
-              collect_set(when(!col("_fwd"), col("pivot"))).as("bwPs"))
-          st.drop("fwNew", "bwNew")
-            .join(pivotSets, Seq("id"), "left")
-            .select(
-              col("id"), col("pivot"),
-              (col("fw") || coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fw"),
-              (col("bw") || coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bw"),
-              (!col("fw") && coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fwNew"),
-              (!col("bw") && coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bwNew"))
-            .withColumn("anyNew", col("fwNew") || col("bwNew"))
+          if (singlePivot) {
+            // One active pivot ⇒ a hit IS membership: aggregate two boolean
+            // flags per target (map-side combine collapses hub fan-in) —
+            // no arrays built, shuffled, or probed. Salting is moot: the
+            // partial aggregation state per key is two booleans.
+            val hitAgg = hits.groupBy("id").agg(
+              max(col("_fwd")).as("hitF"), max(!col("_fwd")).as("hitB"))
+            st.drop("fwNew", "bwNew")
+              .join(hitAgg, Seq("id"), "left")
+              .select(
+                col("id"), col("pivot"),
+                (col("fw") || coalesce(col("hitF"), lit(false))).as("fw"),
+                (col("bw") || coalesce(col("hitB"), lit(false))).as("bw"),
+                (!col("fw") && coalesce(col("hitF"), lit(false))).as("fwNew"),
+                (!col("bw") && coalesce(col("hitB"), lit(false))).as("bwNew"))
+              .withColumn("anyNew", col("fwNew") || col("bwNew"))
+          } else {
+            val pivotSets =
+              if (useSalting)
+                Salting.saltedDirectionalCollectSet(hits, "id", "pivot", "_fwd", "fwPs", "bwPs")
+              else hits.groupBy("id").agg(
+                collect_set(when(col("_fwd"), col("pivot"))).as("fwPs"),
+                collect_set(when(!col("_fwd"), col("pivot"))).as("bwPs"))
+            st.drop("fwNew", "bwNew")
+              .join(pivotSets, Seq("id"), "left")
+              .select(
+                col("id"), col("pivot"),
+                (col("fw") || coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fw"),
+                (col("bw") || coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bw"),
+                (!col("fw") && coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fwNew"),
+                (!col("bw") && coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bwNew"))
+              .withColumn("anyNew", col("fwNew") || col("bwNew"))
+          }
         }
         val (reachedSt, bfsMetrics) = harness.run(
           bfs0, Int.MaxValue, changedCol = Some("anyNew")) { (st, _) =>
@@ -665,6 +695,7 @@ object Scc {
         live = nl
         liveCount = nlCnt
         liveIdPart = false // recolor join leaves (pivot,fw,bw) partitioning
+        singlePivot = false
       }
       arena.release(le)
       graft.Log.v(s"scc round $round: local=$localSolved trimmed=$trimmedTotal " +
