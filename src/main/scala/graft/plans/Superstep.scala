@@ -50,7 +50,7 @@ final class Superstep(
     * step. Returns the converged state and per-iteration metrics.
     */
   def run(state0: DataFrame, maxIter: Int, startIter: Int = 0,
-      changedCol: Option[String] = None)(
+      changedCol: Option[String] = None, changedMask: Option[Int] = None)(
       step: (DataFrame, Int) => DataFrame)(
       changedOf: DataFrame => Long): (DataFrame, Vector[StepMetrics]) = {
     var state = arena.fresh(state0)
@@ -59,12 +59,16 @@ final class Superstep(
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
-      // When the step exposes a boolean changed-flag column, the convergence
-      // count rides the checkpoint materialization (accumulator) — one
-      // driver action per superstep instead of two.
+      // When the step exposes a changed-flag column (boolean, or bit-packed
+      // int + changedMask), the convergence count rides the checkpoint
+      // materialization (accumulator) — one driver action per superstep
+      // instead of two.
       val next = changedCol match {
         case Some(c) =>
-          val (n, _, flagged) = arena.freshFlagged(step(state, iter), c)
+          val (n, _, flagged) = changedMask match {
+            case Some(m) => arena.freshFlaggedMasked(step(state, iter), c, m)
+            case None => arena.freshFlagged(step(state, iter), c)
+          }
           changed = flagged
           n
         case None =>

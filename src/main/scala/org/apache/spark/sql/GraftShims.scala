@@ -68,9 +68,26 @@ object GraftShims {
     */
   def checkpointFreshFlagged(
       df: DataFrame, flagCol: String): (DataFrame, RDD[InternalRow], Long, Long) = {
+    val idx = df.schema.fieldIndex(flagCol)
+    flaggedImpl(df, flagCol, r => !r.isNullAt(idx) && r.getBoolean(idx))
+  }
+
+  /** [[checkpointFreshFlagged]] over a bit-packed IntegerType status column:
+    * a row counts as flagged when `(value & mask) != 0`. Lets an iterative
+    * state pack several boolean flags into one 8-byte UnsafeRow slot and
+    * still ride the convergence count on the materialization pass.
+    */
+  def checkpointFreshFlaggedMasked(
+      df: DataFrame, flagCol: String, mask: Int): (DataFrame, RDD[InternalRow], Long, Long) = {
+    val idx = df.schema.fieldIndex(flagCol)
+    flaggedImpl(df, flagCol, r => !r.isNullAt(idx) && (r.getInt(idx) & mask) != 0)
+  }
+
+  private def flaggedImpl(
+      df: DataFrame, flagCol: String,
+      flagged: InternalRow => Boolean): (DataFrame, RDD[InternalRow], Long, Long) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val qe = df.queryExecution
-    val idx = df.schema.fieldIndex(flagCol)
     val acc = session.sparkContext.longAccumulator(s"graft.flagged.$flagCol")
     // The accumulator increments inside a map transformation, so a task
     // retry / speculative duplicate can overcount. That is acceptable BY
@@ -80,7 +97,7 @@ object GraftShims {
     // affected. Exact per-step counts would cost a second job per superstep,
     // which is the latency this shim exists to remove.
     val rdd = qe.toRdd.map { r =>
-      if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1L)
+      if (flagged(r)) acc.add(1L)
       r.copy()
     }
     rdd.persist(ckptLevel)
