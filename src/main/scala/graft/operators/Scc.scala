@@ -298,6 +298,9 @@ object Scc {
     // carries 80-95% of all BFS work. Trims/relabel preserve the property
     // (one group maps to one group); WCC refinement and recolor clear it.
     var singlePivot = false
+    // live-subgraph edge count at the round-0 seed (from the trim-fixpoint
+    // degree counters; -1 = unknown)
+    var liveEdges0 = -1L
 
     snaps.flatMap(_.resume()) match {
       case Some((liveDf, parts, r, lc)) =>
@@ -347,13 +350,18 @@ object Scc {
         // bought nothing that one FW-BW round doesn't — measured 138 s of
         // a 418 s convergence at the 15.3M-edge bench point.
         // degs still carries the trim fixpoint's live oc/ic counters, so
-        // the argmax is one small agg on the already-materialized frame.
+        // the argmax is one small agg on the already-materialized frame —
+        // and sum(oc) in the same pass IS the live-subgraph edge count
+        // (each oc counts out-edges to live endpoints at fixpoint), which
+        // lets round 0 skip building `le` entirely (see skipLe below).
         val pivotRow = degs
-          .agg(max(struct((col("oc") * col("ic")).as("p"), (-col("id")).as("negId"))))
+          .agg(max(struct((col("oc") * col("ic")).as("p"), (-col("id")).as("negId"))),
+            sum(col("oc")))
           .head()
         if (!pivotRow.isNullAt(0)) {
           val pivot0 = -pivotRow.getStruct(0).getLong(1)
-          graft.Log.v(s"scc: round-0 pivot $pivot0 by degree product")
+          liveEdges0 = if (pivotRow.isNullAt(1)) 0L else pivotRow.getLong(1)
+          graft.Log.v(s"scc: round-0 pivot $pivot0 by degree product ($liveEdges0 live edges)")
           val lc = arena.freshCounted(
             degs.select(col("id"), lit(pivot0).as("pivot")))
           live = lc._1
@@ -390,13 +398,24 @@ object Scc {
       // reused by local-solve, trim-1 and trim-2 (the round-1 engine
       // re-joined live⨝edges separately for every consumer and every trim
       // sweep — at 100 TB each of those was a full O(E) shuffle).
+      // SKIPPED in the common giant-component round 0: with one pivot, a
+      // fixpointed pre-trim and a remainder too big to local-solve, every
+      // le consumer is a no-op this round (the BFS reads the original edge
+      // partitionings directly, masking dead targets at the state join) —
+      // and the live edge count that decides "too big" is already known
+      // from the trim degree counters (liveEdges0), so the whole O(E)
+      // double join + cache is dead weight.
+      val skipLe = round == 0 && singlePivot && preTrimFixpoint &&
+        localSolveEdgeThreshold > 0 && liveEdges0 > localSolveEdgeThreshold
       val lp = live.select(col("id"), col("pivot"))
-      var (le, leCnt) = arena.freshCounted(
-        eBySrc
-          .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
-          .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
-          .filter(col("srcP") === col("dstP"))
-          .select(col("srcP").as("pivot"), col("src"), col("dst")))
+      var (le, leCnt) =
+        if (skipLe) (null: DataFrame, liveEdges0)
+        else arena.freshCounted(
+          eBySrc
+            .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
+            .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
+            .filter(col("srcP") === col("dstP"))
+            .select(col("srcP").as("pivot"), col("src"), col("dst")))
 
       // ---- deferred WCC partition refinement (rounds ≥ 1): a recolor can
       // leave one partition holding MANY weak components (all of "neither"
@@ -443,7 +462,7 @@ object Scc {
       // ---- local-solve routing: partitions small enough for one task are
       // finished right here by a per-group Tarjan (one shuffle on pivot).
       var localSolved = 0L
-      if (localSolveEdgeThreshold > 0) {
+      if (localSolveEdgeThreshold > 0 && !skipLe) {
         val groupEdgeCounts = le.groupBy("pivot").agg(count(lit(1)).as("ec"))
         val (smallPivots, _) = arena.freshCounted(
           live.select("pivot").distinct()
@@ -708,7 +727,7 @@ object Scc {
         liveIdPart = false // recolor join leaves (pivot,fw,bw) partitioning
         singlePivot = false
       }
-      arena.release(le)
+      if (le != null) arena.release(le)
       graft.Log.v(s"scc round $round: local=$localSolved trimmed=$trimmedTotal " +
         s"pair=$pairTrimmed bfs=$bfsSteps sccRows=$sccRows live=$liveCount")
       metrics += RoundMetrics(round, localSolved, trimmedTotal, pairTrimmed, bfsSteps,

@@ -10,9 +10,14 @@ class SccSpec extends SparkTest {
     * and pure distributed FW-BW (threshold 0 forces every partition through
     * the superstep loop).
     */
+  /** threshold=250000 → hybrid/local-Tarjan routing (the default);
+    * threshold=0 → pure distributed FW-BW; threshold=1 → distributed with
+    * the round-0 `le`-skip active (liveEdges0 > 1 on any nontrivial graph,
+    * so round 0 runs straight off the original edge partitionings).
+    */
   private def checkDecomposition(edges: Seq[(Long, Long)], vertices: Seq[Long]): Unit = {
     val expected = Oracle.tarjan(vertices, edges)
-    for (threshold <- Seq(250000L, 0L)) {
+    for (threshold <- Seq(250000L, 0L, 1L)) {
       val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
         localSolveEdgeThreshold = threshold)
       val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
