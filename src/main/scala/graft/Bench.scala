@@ -34,7 +34,8 @@ object Bench {
     * the timings, matching the reference's load-excluded protocol,
     * scc_runner.cu:36-38).
     */
-  private def graphRunOnce(cores: Int, spec: GraphSpec): (Double, Double, Long) = {
+  private def graphRunOnce(
+      cores: Int, spec: GraphSpec, sccOnly: Boolean = false): (Double, Double, Long) = {
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("ERROR")
     try {
@@ -46,10 +47,12 @@ object Bench {
         val (comp, _) = Scc.components(spark, edges, vertices)
         comp.count()
       }._2
-      val prSec = timed {
-        val (ranks, _) = PageRank.run(spark, edges, vertices, tol = 0.0, maxIter = 10)
-        ranks.count()
-      }._2
+      val prSec =
+        if (sccOnly) 0.0
+        else timed {
+          val (ranks, _) = PageRank.run(spark, edges, vertices, tol = 0.0, maxIter = 10)
+          ranks.count()
+        }._2
       edges.unpersist(false)
       (sccSec, prSec, numEdges)
     } finally {
@@ -119,6 +122,24 @@ object Bench {
     val n = math.max(2, cpus / 4)
     val (sccN, prN, scc4N, pr4N, numEdges) = scalingRuns(n, cpus, spec)
 
+    // Secondary (N=2, 4N=8) SCC-only pair: both legs sit BELOW this box's
+    // memory-bandwidth saturation point (~8 threads for this workload —
+    // the optimized job burns 2.2x more CPU per edge at 32 threads than
+    // at 8 for identical work; BASELINE.md "saturation accounting"), so
+    // this pair measures the PLAN's scalability at the same 4x span,
+    // while the primary (8, 32) pair measures what one shared-memory box
+    // does above saturation. Both are reported; neither replaces the
+    // other.
+    val (sccLo, _, sccLoHi, _, _) =
+      if (cpus >= 8) {
+        val pairs = (0 until 1).map { _ =>
+          val a = graphRunOnce(2, spec, sccOnly = true)
+          val b = graphRunOnce(8, spec, sccOnly = true)
+          (a._1, 0.0, b._1, 0.0, a._3)
+        }
+        (pairs.head._1, 0.0, pairs.head._3, 0.0, numEdges)
+      } else (0.0, 0.0, 0.0, 0.0, 0L)
+
     val tputN = numEdges / sccN
     val tput4N = numEdges / scc4N
     val eff = (tput4N / tputN) / (cpus.toDouble / n)
@@ -137,6 +158,8 @@ object Bench {
       s""""scc_edges_per_sec_N":${f"$tputN%.1f"},"scc_edges_per_sec_4N":${f"$tput4N%.1f"},""" +
       s""""scc_scaling_efficiency":${f"$eff%.3f"},""" +
       s""""pagerank_iters_per_sec_N":${f"$prTputN%.3f"},"pagerank_iters_per_sec_4N":${f"$prTput4N%.3f"},""" +
-      s""""pagerank_scaling_efficiency":${f"$prEff%.3f"}}}""")
+      s""""pagerank_scaling_efficiency":${f"$prEff%.3f"},""" +
+      s""""below_saturation_2_8":{"scc_sec_N":${f"$sccLo%.2f"},"scc_sec_4N":${f"$sccLoHi%.2f"},""" +
+      s""""scc_scaling_efficiency":${if (sccLoHi > 0) f"${(sccLo / sccLoHi) / 4}%.3f" else "null"}}}}""")
   }
 }
