@@ -377,7 +377,7 @@ object Scc {
 
     // ---- skew gate: one co-partitioned degree-max per edge copy. When a
     // hub vertex exceeds the threshold, the BFS pivot-set aggregation
-    // switches to the two-level salted build (see Salting.saltedCollectSet).
+    // switches to the two-level salted build (Salting.saltedDirectionalCollectSet).
     // (computed only when a distributed BFS can happen — a graph that fits
     // the whole-graph local-solve shortcut never aggregates pivot sets)
     val useSalting = liveCount > 0 &&

@@ -203,18 +203,26 @@ class SccSpec extends SparkTest {
   }
 
   test("skewed hub graph takes the salted pivot-set path and stays correct") {
-    // star with bidirectional spokes: hub in/out-degree = nSpokes, every
-    // vertex strongly connected through the hub — one SCC. With
-    // hubDegreeThreshold below the hub degree, the BFS aggregation runs
-    // through Salting.saltedCollectSet; localSolveEdgeThreshold=0 forces
-    // the distributed BFS (local Tarjan would otherwise swallow the graph).
-    val n = 3000L
-    val edges = (1L until n).flatMap(i => Seq((0L, i), (i, 0L)))
-    val vertices = 0L until n
-    val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+    // TWO disconnected stars with bidirectional spokes: each hub's in/out
+    // degree exceeds hubDegreeThreshold, and each star is one SCC. Round 0
+    // (single-pivot, boolean hit-flag aggregation — salting bypassed by
+    // design) extracts the star holding the degree-product pivot; round 1
+    // then runs the OTHER star through the multi-pivot pivot-set branch,
+    // which with hubDegreeThreshold=100 is the salted
+    // saltedDirectionalCollectSet build — the path this test pins.
+    // localSolveEdgeThreshold=0 forces the distributed BFS throughout.
+    val n = 1500L
+    val edges = (1L until n).flatMap(i => Seq((0L, i), (i, 0L))) ++
+      (1L until n).flatMap(i => Seq((5000L, 5000L + i), (5000L + i, 5000L)))
+    val vertices = (0L until n) ++ (5000L until (5000L + n))
+    val (got, metrics) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
       localSolveEdgeThreshold = 0, hubDegreeThreshold = 100)
-    val comps = got.collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(comps.length == n && comps.forall(_._2 == 0L))
+    val comps = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 2 * n &&
+      (0L until n).forall(i => comps(i) == 0L) &&
+      (5000L until (5000L + n)).forall(i => comps(i) == 5000L))
+    // both stars must have gone through a BFS (not been trimmed away)
+    assert(metrics.count(_.bfsSteps > 0) >= 2, s"metrics=$metrics")
   }
 
   test("Spark-native GraphFile.read == parseLocal, end-to-end through the engine") {
