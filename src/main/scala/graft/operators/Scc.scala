@@ -14,12 +14,14 @@ import graft.plans.{CheckpointArena, Superstep}
   * as declarative DataFrame supersteps.
   *
   * Differences from the reference, all deliberate (SURVEY.md §2.1, §4):
-  *   - **Deterministic pivots**: the reference elects pivots by a GPU
-  *     last-writer-wins race (`scc_operations.cu:163-166`); we use
-  *     `min(id)` per color group, which both makes runs reproducible across
-  *     cluster sizes and makes every emitted component id automatically the
-  *     canonical min-member id (the pivot of a group is its min id, and the
-  *     SCC found around a pivot always contains it).
+  *   - **Deterministic pivots, canonical labels**: the reference elects
+  *     pivots by a GPU last-writer-wins race (`scc_operations.cu:163-166`);
+  *     here every pivot election is deterministic (degree-product argmax
+  *     with min-id ties in round 0, `min(id)` per recolor group after) and
+  *     every emitted component id is the canonical min-member id
+  *     regardless of which member seeded the reach — the recolor's
+  *     per-group `min(id)` is what gets emitted, so runs are reproducible
+  *     across cluster sizes.
   *   - **Degree-product pivot + deferred WCC refinement**: the reference
   *     starts from one arbitrary global pivot and serializes disconnected
   *     components (fine on a GPU where a round is microseconds,
@@ -38,7 +40,16 @@ import graft.plans.{CheckpointArena, Superstep}
   *     (`cuda/scc_operations.cu:89-127`).
   *   - fw and bw reachability run in the same superstep DAG — the shape the
   *     reference reaches for with two CUDA streams + a bit-OR merge in
-  *     v6/v7 (`cuda/sccv6_optreach.cu:270-293`), free here.
+  *     v6/v7 (`cuda/sccv6_optreach.cu:270-293`) — and in ONE exchange per
+  *     step: both frontiers' hits union with a direction flag into a
+  *     single per-target aggregation and a single state-rewrite join.
+  *   - **Packed status, specialized round 0**: the BFS state carries its
+  *     four reach flags bit-packed in one int (the reference's packed
+  *     status byte, `utils/is_checked.cu:22-46`), and the single-pivot
+  *     round 0 — 80-95% of all work on web-shaped graphs — aggregates two
+  *     boolean hit flags per target instead of pivot-set arrays, skips
+  *     pivot re-election when no trim removed vertices, and skips the
+  *     round's live-edge materialization outright (no consumer needs it).
   *
   * Semantics note (SURVEY.md §5.3): `components` decomposes whatever
   * (vertices, edges) it is given. The reference *engine* computes SCCs of
