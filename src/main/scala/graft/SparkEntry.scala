@@ -183,9 +183,11 @@ object SparkEntry {
         bands = 11, rowsPerBand = 3, threshold = 0.8)
         .orderBy("a", "b")),
 
-    // ---- dedup: SimHash near-dup pairs (rows-only: xxhash64-based
-    // signature is engine-specific). maxDistance=6 → 7-chunk pigeonhole
+    // ---- dedup: SimHash near-dup pairs. maxDistance=6 → 7-chunk pigeonhole
     // bucketing with guaranteed recall 1 for d ≤ 6 (Dedup.simhashDuplicates).
+    // Oracled via the signature hand-off (Verify.auxSimhashSigsPath): DuckDB
+    // brute-forces hamming over the dumped signatures — the bucketed pairs
+    // must equal the all-pairs answer exactly.
     "q_simhash_dups" -> ((s, d) =>
       Dedup.simhashDuplicates(t(s, d, "documents"), col("doc_id"), col("text"),
         maxDistance = 6)
@@ -208,7 +210,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- similarity: LSH ANN (rows-only: approximate by design) ----
+    // ---- similarity: LSH ANN (approximate by design; oracled via the
+    // candidate hand-off, Verify.auxAnnCandidatesPath: DuckDB re-ranks the
+    // dumped candidate pairs by its own exact cosine — the rerank/top-k
+    // stage must reproduce the query output exactly) ----
     "q_ann_lsh" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       Similarity.lshTopK(embs.filter(col("vec_id") < 10), embs, 5,
@@ -239,8 +244,11 @@ object SparkEntry {
         round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"))
         .orderBy("doc_id")),
 
-    // ---- text analysis: content fingerprints (rows-only: xxhash64-based,
-    // engine-specific by nature; invariants tested in PipelineSpec) ----
+    // ---- text analysis: content fingerprints (xxhash64-based values are
+    // engine-specific; the oracle verifies their EQUIVALENCE STRUCTURE via
+    // the hand-off at Verify.auxFingerprintsPath — fingerprint groups must
+    // match DuckDB's independent canonical-token-bag/sequence groups; also
+    // invariant-tested in PipelineSpec) ----
     "q_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -335,6 +343,69 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank_topk" -> pagerankSql(20),
+
+    // Signature hand-off (Verify.auxSimhashSigsPath): brute-force hamming
+    // over the dumped per-document signatures. The query's 7-chunk
+    // pigeonhole bucketing claims recall 1 for distance ≤ 6 — so its pairs
+    // must equal this all-pairs answer exactly.
+    "q_simhash_dups" ->
+      s"""WITH sig AS (
+        |  SELECT * FROM read_parquet('${Verify.auxSimhashSigsPath}/*.parquet'))
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  bit_count(xor(l.sig, r.sig)) AS distance
+        |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sig, r.sig)) <= 6
+        |ORDER BY a, b""".stripMargin,
+
+    // Candidate hand-off (Verify.auxAnnCandidatesPath): DuckDB re-ranks the
+    // dumped LSH candidate pairs with its own exact cosine — verifying the
+    // exact-rerank/top-k stage; the SRP hash family stays engine-side.
+    "q_ann_lsh" ->
+      s"""WITH cand AS (
+        |  SELECT * FROM read_parquet('${Verify.auxAnnCandidatesPath}/*.parquet')),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))), 6) AS cosine
+        |  FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+        |            JOIN embeddings n ON cand.neighbor_id = n.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Fingerprint hand-off (Verify.auxFingerprintsPath): the hash VALUES are
+    // engine-specific, so the oracle verifies their equivalence structure —
+    // fingerprint-equality groups must coincide with DuckDB's independent
+    // canonical-token-bag groups (order-insensitive) and rolling_hash groups
+    // with its token-sequence groups (order-sensitive). Rows violating
+    // either bijection are dropped, failing the row-count compare.
+    "q_text_fingerprint" ->
+      s"""WITH fp AS (
+        |  SELECT * FROM read_parquet('${Verify.auxFingerprintsPath}/*.parquet')),
+        |keys AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS bag_key,
+        |    md5(array_to_string(tk, ' ')) AS seq_key
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |            t -> len(t) > 0) AS tk
+        |        FROM documents)),
+        |fgrp AS (SELECT fingerprint AS f, min(doc_id) AS g FROM fp GROUP BY 1),
+        |bgrp AS (SELECT bag_key AS k, min(doc_id) AS g FROM keys GROUP BY 1),
+        |rgrp AS (SELECT rolling_hash AS f, min(doc_id) AS g FROM fp GROUP BY 1),
+        |sgrp AS (SELECT seq_key AS k, min(doc_id) AS g FROM keys GROUP BY 1)
+        |SELECT fp.doc_id, fp.fingerprint, fp.rolling_hash
+        |FROM fp JOIN keys USING (doc_id)
+        |JOIN fgrp ON fp.fingerprint = fgrp.f
+        |JOIN bgrp ON keys.bag_key = bgrp.k
+        |JOIN rgrp ON fp.rolling_hash = rgrp.f
+        |JOIN sgrp ON keys.seq_key = sgrp.k
+        |WHERE fgrp.g = bgrp.g AND rgrp.g = sgrp.g
+        |ORDER BY fp.doc_id""".stripMargin,
 
     "q_minhash_dups" ->
       """WITH sh AS (

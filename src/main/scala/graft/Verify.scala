@@ -11,6 +11,17 @@ object Verify {
     */
   val auxCodeTablePath = "/root/repo/target/verify_aux/code_files.parquet"
 
+  /** Signature hand-offs closing the last `no_oracle` rows (the
+    * q_import_edges pattern): the engine-specific hash family (xxhash64
+    * simhash bits, SRP buckets) is dumped to parquet and DuckDB verifies the
+    * DOWNSTREAM logic exactly — the pairing/bucketing/ranking stage that can
+    * regress. Reference analog: misc/verify.py:42-53 (independent
+    * recomputation over the same input).
+    */
+  val auxSimhashSigsPath = "/root/repo/target/verify_aux/simhash_sigs.parquet"
+  val auxAnnCandidatesPath = "/root/repo/target/verify_aux/ann_candidates.parquet"
+  val auxFingerprintsPath = "/root/repo/target/verify_aux/text_fingerprints.parquet"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,6 +39,31 @@ object Verify {
       .generate(spark, graft.sources.GraphSpec(
         numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L))
       .coalesce(1).write.mode("overwrite").parquet(auxCodeTablePath)
+    // q_simhash_dups hand-off: the per-document 64-bit signatures (same
+    // native SimHash64 expression the query evaluates). The oracle
+    // brute-forces hamming over them — recall-1 bucketing must reproduce
+    // the all-pairs answer exactly.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.Dedup.simhash(org.apache.spark.sql.functions.col("text")).as("sig"))
+      .coalesce(1).write.mode("overwrite").parquet(auxSimhashSigsPath)
+    // q_ann_lsh hand-off: the deduped LSH candidate pairs (same parameters
+    // as the query). The oracle re-ranks them with its own exact cosine —
+    // the verify/rank stage must reproduce the query's top-k exactly.
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.functions.Similarity.lshCandidates(
+        embs.filter(org.apache.spark.sql.functions.col("vec_id") < 10), embs,
+        numPlanes = 6, probes = 6)
+      .select(org.apache.spark.sql.functions.col("queryId").as("query_id"),
+        org.apache.spark.sql.functions.col("neighborId").as("neighbor_id"))
+      .coalesce(1).write.mode("overwrite").parquet(auxAnnCandidatesPath)
+    // q_text_fingerprint hand-off: the fingerprints themselves. The oracle
+    // recomputes the equivalence structure independently (md5 of the
+    // canonical token bag / sequence) and only passes rows whose
+    // fingerprint-equality groups match it — a regression in either hash's
+    // order-(in)sensitivity drops rows and fails the compare.
+    SparkEntry.queries("q_text_fingerprint")(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(auxFingerprintsPath)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

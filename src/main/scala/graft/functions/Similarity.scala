@@ -68,37 +68,59 @@ object Similarity {
     GraftShims.column(SrpBucket(
       GraftShims.expression(v), GraftShims.expression(seedCol), numPlanes))
 
-  /** ANN top-k via SRP-LSH bucketing with multiprobe (each vector also
-    * probes the `probes` single-bit-flip neighbor buckets), re-ranked by
-    * exact cosine within candidates. Same output shape as
-    * [[bruteForceTopK]]; recall < 1 by design — measured in tests.
+  /** LSH candidate pairs for [[lshTopK]]: per query, the corpus vectors
+    * sharing an SRP bucket under multiprobe (own bucket + single-bit flips
+    * of the first `probes` planes). Deduped (queryId, neighborId) pairs —
+    * ids only, BEFORE any scoring, so a pair colliding in several probed
+    * buckets is scored exactly once downstream (the same candidates-first
+    * shape as [[Dedup.minhashDuplicates]]). Exposed separately so the
+    * driver oracle can verify the exact-rerank stage over the dumped
+    * candidate set (Verify.auxAnnCandidatesPath).
+    */
+  def lshCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      numPlanes: Int = 8, probes: Int = 4,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(cId).as("neighborId"),
+      srpBucket(col(cVec), numPlanes).as("bucket"))
+    val q0 = queries.select(col(qId).as("queryId"),
+      srpBucket(col(qVec), numPlanes).as("b0"))
+    val q = q0.select(
+      col("queryId"),
+      explode(concat(array(col("b0")),
+        transform(sequence(lit(0), lit(probes - 1)),
+          p => col("b0").bitwiseXOR(element_at(typedLit(bitMasks), p + 1))))).as("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("queryId") =!= col("neighborId"))
+      .select("queryId", "neighborId")
+      .distinct()
+  }
+
+  /** ANN top-k via SRP-LSH bucketing with multiprobe, re-ranked by exact
+    * cosine within candidates. Same output shape as [[bruteForceTopK]];
+    * recall < 1 by design — measured in tests.
     * Scale: candidates per query ≈ corpus/2^planes × (1+probes); the join
-    * is an equi-join on bucket id, never a cross join.
+    * is an equi-join on bucket id, never a cross join, and each surviving
+    * pair is scored exactly once (candidates deduped before the vectors
+    * join back — multi-bucket collisions never repeat the dot product).
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 8, probes: Int = 4,
       qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cand = lshCandidates(queries, corpus, numPlanes, probes, qId, qVec, cId, cVec)
+    val q = queries.select(col(qId).as("queryId"), col(qVec).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val c = corpus.select(col(cId).as("neighborId"), col(cVec).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-      .withColumn("bucket", srpBucket(col("cv"), numPlanes))
-    val q0 = queries.select(col(qId).as("queryId"), col(qVec).as("qv"))
-      .withColumn("qn", l2norm(col("qv")))
-      .withColumn("b0", srpBucket(col("qv"), numPlanes))
-    // multiprobe: own bucket + single-bit flips of the first `probes` planes
-    val q = q0.select(
-      col("queryId"), col("qv"), col("qn"),
-      explode(concat(array(col("b0")),
-        transform(sequence(lit(0), lit(probes - 1)),
-          p => col("b0").bitwiseXOR(element_at(typedLit(bitMasks), p + 1))))).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("queryId") =!= col("neighborId"))
+    val scored = cand.join(broadcast(q), Seq("queryId"))
+      .join(c, Seq("neighborId"))
       .withColumn("cosine",
         round(when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .otherwise(0.0), 6))
       .select("queryId", "neighborId", "cosine")
-      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId"))
     scored.withColumn("rank", row_number().over(w))
