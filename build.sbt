@@ -30,6 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Throughput collector: measured 14% faster end-to-end than G1 on the
   // SCC bench point (and ~45% lower task-thread CPU — G1's concurrent
   // write barriers tax the checkpoint row-copy loop); standard choice for
-  // batch Spark executors. Override via SPARK_GC_OPTS.
-  "-XX:+UseParallelGC",
-) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+  // batch Spark executors. Emitted only when SPARK_GC_OPTS is unset: two
+  // enabled collectors (e.g. +UseParallelGC then +UseG1GC) make the JVM
+  // refuse to start, so an override fully owns the GC choice.
+) ++ sys.env.get("SPARK_GC_OPTS").map(_.split("\\s+").toSeq)
+  .getOrElse(Seq("-XX:+UseParallelGC"))

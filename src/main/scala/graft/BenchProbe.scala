@@ -42,16 +42,22 @@ object BenchProbe {
     val edges = GraphGen.edges(spark, spec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = edges.count()
-    taskMs.set(0); cpuMs.set(0); gcMs.set(0); stages.set(0)
+    // reset the per-callsite table together with the scalar counters, or
+    // the printed attribution includes graph-gen stages outside the timed
+    // region and disagrees with the aggregates beside it
+    taskMs.set(0); cpuMs.set(0); gcMs.set(0); stages.set(0); byName.clear()
     val t0 = System.nanoTime()
     if (args.length > 2 && args(2) == "pr") {
-      val (ranks, _) = graft.operators.PageRank.run(
+      val run1 = graft.operators.PageRank.run(
         spark, edges, GraphGen.vertices(spark, spec), tol = 0.0, maxIter = 10)
+      val ranks = run1.ranks
       val cnt = ranks.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"PR cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f iters_per_sec=${10 / sec}%.3f")
     } else {
-      val (comp, metrics) = Scc.components(spark, edges, GraphGen.vertices(spark, spec))
+      val run2 = Scc.components(spark, edges, GraphGen.vertices(spark, spec))
+      val comp = run2.components
+      val metrics = run2.metrics
       val cnt = comp.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val bfsTotal = metrics.map(_.bfsSteps).sum

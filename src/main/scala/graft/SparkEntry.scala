@@ -123,12 +123,12 @@ object SparkEntry {
 
     // ---- graph: WCC ----
     "q_wcc" -> ((s, d) =>
-      Wcc.run(s, derivedEdges(s, d), customerVertices(s, d))._1
+      Wcc.run(s, derivedEdges(s, d), customerVertices(s, d)).components
         .orderBy("id")),
 
     // ---- graph: SCC decomposition ----
     "q_scc" -> ((s, d) =>
-      Scc.components(s, derivedEdges(s, d), customerVertices(s, d))._1
+      Scc.components(s, derivedEdges(s, d), customerVertices(s, d)).components
         .orderBy("id")),
 
     // ---- graph: the reference's accepted-SCC query (full-G semantics) ----
@@ -146,7 +146,7 @@ object SparkEntry {
     // flip the ordering ----
     "q_pagerank_topk" -> ((s, d) =>
       PageRank.run(s, derivedEdges(s, d), customerVertices(s, d),
-        tol = 0.0, maxIter = 20)._1
+        tol = 0.0, maxIter = 20).ranks
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("id"))
         .limit(20)),
@@ -303,6 +303,7 @@ object SparkEntry {
         files.filter(col("fileId") % 10 === 0)
           .select(col("fileId").as("id"), langId.as("label")),
         iterations = 3)
+        .labels
         .orderBy("id")
     }))
 

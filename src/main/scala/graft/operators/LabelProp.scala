@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.plans.CheckpointArena
 
+/** Result handle for [[LabelProp.run]]: the per-vertex labels plus
+  * [[release]] to unpersist the cached blocks backing [[labels]] once
+  * consumed. The frame must not be used after release — checkpoint lineage
+  * is truncated. Idempotent.
+  */
+final class LabelPropRun(val labels: DataFrame, releaseFn: () => Unit) {
+  def release(): Unit = releaseFn()
+}
+
 /** Seeded synchronous label propagation over a directed edge table — the
   * north-rule's fourth named graph capability (alongside PageRank, connected
   * components and triangle count). The classic web use is propagating a
@@ -31,15 +40,18 @@ object LabelProp {
 
   /** @param edges (src, dst) directed edges; labels flow src → dst
     * @param verts (id) full vertex set
-    * @param seeds (id, label) clamped seed labels, label: Long
-    * @return (id, label) for every vertex; -1 where no label arrived
+    * @param seeds (id, label) clamped seed labels, label: Long; duplicate
+    *   ids resolve deterministically to their MIN label (an un-deduped
+    *   left join would multiply state rows and double-count votes)
+    * @return handle to (id, label) for every vertex; -1 where no label
+    *   arrived
     */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       verts: DataFrame,
       seeds: DataFrame,
-      iterations: Int): DataFrame = {
+      iterations: Int): LabelPropRun = {
     require(iterations >= 1, "iterations must be >= 1")
     val arena = new CheckpointArena
 
@@ -47,9 +59,10 @@ object LabelProp {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val seeds1 = seeds.groupBy("id").agg(min("label").as("seedLabel"))
     var state = arena.fresh(
       verts.select("id")
-        .join(seeds.select(col("id"), col("label").as("seedLabel")), Seq("id"), "left")
+        .join(seeds1, Seq("id"), "left")
         .withColumn("label", col("seedLabel"))
         .repartition(col("id")))
 
@@ -71,10 +84,9 @@ object LabelProp {
 
     val out = state.select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
     eBySrc.unpersist(false)
-    // state's blocks back `out` lazily; leave them to the arena owner —
-    // the final projection is narrow and the arena is method-local, so
-    // keep the backing alive (same pattern as Scc's assignedParts).
+    // state's blocks back `out` lazily; kept alive until the caller's
+    // release() (same pattern as Scc's assignedParts).
     arena.closeExcept(state)
-    out
+    new LabelPropRun(out, () => arena.closeExcept())
   }
 }

@@ -4,7 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.plans.{StepMetrics, Superstep}
+import graft.plans.{CheckpointArena, StepMetrics, Superstep}
+
+/** Result handle for [[PageRank.run]]: the per-vertex ranks plus
+  * [[release]] to unpersist the cached blocks backing [[ranks]] once
+  * consumed. The frame must not be used after release — checkpoint lineage
+  * is truncated. Idempotent.
+  */
+final class PageRankRun(
+    val ranks: DataFrame,
+    val metrics: Vector[StepMetrics],
+    releaseFn: () => Unit) {
+  def release(): Unit = releaseFn()
+}
 
 /** PageRank with proper dangling-mass redistribution (north-star capability,
   * SURVEY.md §2.3 — reuses the reference's frontier-join shape,
@@ -39,10 +51,11 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 100,
       itersPerStep: Int = 1,
-      snapshotDir: Option[String] = None): (DataFrame, Vector[StepMetrics]) = {
+      snapshotDir: Option[String] = None): PageRankRun = {
     require(itersPerStep >= 1)
 
     val n = vertices.count().toDouble
+    val arena = new CheckpointArena
 
     val outDeg = edges.groupBy(col("src").as("id")).agg(count("*").as("outDeg"))
     val verts = vertices
@@ -56,28 +69,35 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesBySrc.count()
 
-    val state0 = verts.select(col("id"), col("outDeg"), lit(1.0 / n).as("rank"),
+    // The checkpointed superstep state is the MINIMUM that must evolve:
+    // (id, rank, changed) — 3 UnsafeRow slots. outDeg is static, so it
+    // re-joins per use from the persisted id-partitioned `verts` (two
+    // exchange-free co-partitioned joins per iteration) instead of riding
+    // every checkpoint: per-step checkpointed bytes drop 25%, which is the
+    // term that matters at 10^8-vertex states.
+    val state0 = verts.select(col("id"), lit(1.0 / n).as("rank"),
       lit(true).as("changed"))
 
     // One rank update. Dangling mass rides the plan as a broadcast 1-row
     // aggregate — folding it in keeps each update scalar-action-free; a
     // `.head()` here would add a job per iteration.
     def update(state: DataFrame): DataFrame = {
-      val danglingDf = state.filter(col("outDeg") === 0)
+      val withDeg = state.join(verts, Seq("id")) // co-partitioned, no exchange
+
+      val danglingDf = withDeg.filter(col("outDeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0)).as("danglingMass"))
 
-      val contribs = state
-        .join(edgesBySrc, state("id") === edgesBySrc("src"))
+      val contribs = withDeg
+        .join(edgesBySrc, withDeg("id") === edgesBySrc("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outDeg")).as("contrib"))
 
       state
-        .select(col("id"), col("outDeg"), col("rank").as("prevRank"))
+        .select(col("id"), col("rank").as("prevRank"))
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(danglingDf))
         .select(
           col("id"),
-          col("outDeg"),
           (lit((1.0 - alpha) / n) +
             lit(alpha) * (coalesce(col("contrib"), lit(0.0)) + col("danglingMass") / n))
             .as("rank"),
@@ -87,7 +107,7 @@ object PageRank {
     }
 
     val steps = (maxIter + itersPerStep - 1) / itersPerStep
-    val harness = new Superstep(spark, "pagerank", snapshotDir)
+    val harness = new Superstep(spark, "pagerank", snapshotDir, arena = arena)
     val (converged, metrics) = harness.run(state0, steps, changedCol = Some("changed")) {
       (state, step) =>
       val itersThisStep = math.min(itersPerStep, maxIter - step * itersPerStep)
@@ -96,6 +116,6 @@ object PageRank {
 
     verts.unpersist(false)
     edgesBySrc.unpersist(false)
-    (converged.select("id", "rank"), metrics)
+    new PageRankRun(converged.select("id", "rank"), metrics, () => arena.closeExcept())
   }
 }

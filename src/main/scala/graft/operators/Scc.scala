@@ -8,6 +8,27 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.plans.{CheckpointArena, Superstep}
 
+/** Result handle for [[Scc.components]]:
+  *   - [[release]]: unpersist every cached block backing [[components]]
+  *     once the caller has consumed it (the reference frees everything per
+  *     `routine` run, scc_runner.cu:44; without this, repeated
+  *     decompositions accumulate storage blocks until eviction).
+  *     [[components]] must not be used afterwards — checkpoint lineage is
+  *     truncated and cannot recompute. Idempotent.
+  *   - [[assignedCount]]: exact row count of [[components]], tallied from
+  *     the counts that rode each fragment's materialization action —
+  *     consumers needing the total (the bench, sanity gates) read it
+  *     without re-scanning the fragment union, and `components()` itself
+  *     asserts it equals the input vertex count before returning.
+  */
+final class SccRun(
+    val components: DataFrame,
+    val metrics: Vector[Scc.RoundMetrics],
+    val assignedCount: Long,
+    releaseFn: () => Unit) {
+  def release(): Unit = releaseFn()
+}
+
 /** Strongly connected components via Forward-Backward-Trim with pivot
   * coloring — the reference's core algorithm
   * (`/root/reference/main.cpp:165-205`, `cuda/scc_operations.cu`), rebuilt
@@ -84,11 +105,28 @@ object Scc {
     * `edgesBySrc`/`edgesByDst` are the same edge rows (pass differently
     * partitioned copies when available so both degree aggregations reuse an
     * existing exchange). Removed vertices are appended to `assignedParts`
-    * as (id, comp = id) fragments, their backing to `partBacking`.
+    * as (id, comp = id) fragments — LAZY filters over the sweep's already-
+    * materialized degree frame, which goes to `partBacking` instead of
+    * being released: one driver action per sweep, not two. (The retention
+    * trade: up to `sweeps` survivor-frames stay cached until the run's
+    * release; bounded by the adaptive cap below and MEMORY_AND_DISK
+    * storage, and freed by [[SccRun.release]].)
+    *
+    * Adaptive sweep cap (the measured serial floor of the sf0.1 bench run
+    * was this loop — 29% of wall, mostly tail sweeps removing a trickle):
+    * each sweep costs a full edge-table pass + an O(remaining) state
+    * rewrite regardless of how little it removes, so once a sweep would
+    * remove < 0.1% of the remaining vertices the loop stops and leaves the
+    * stragglers flagged-but-live — trim is an accelerator, not a
+    * correctness requirement; FW-BW classifies the leftovers as trivial
+    * SCCs in later rounds at O(leftover) cost (in practice the post-giant
+    * local-solve mop-up). Only active above 1M remaining vertices so small
+    * graphs and every fixture test still reach the exact fixpoint.
     *
     * Returns (survivors frame — arena-owned, schema = verts ++ oc/ic/dead —
-    * remaining row count, removed total, sweeps run). If the sweep cap is
-    * hit, still-dead rows stay in the survivors (flagged, untrimmed).
+    * remaining row count, removed total, sweeps run, done). `done` = the
+    * trim phase is complete (fixpoint reached or adaptively capped); false
+    * only when the hard `maxSweeps` cap interrupted real progress.
     */
   private def trimFixpoint(
       arena: CheckpointArena,
@@ -97,7 +135,7 @@ object Scc {
       verts: DataFrame,
       maxSweeps: Int,
       assignedParts: mutable.ArrayBuffer[DataFrame],
-      partBacking: mutable.ArrayBuffer[DataFrame]): (DataFrame, Long, Long, Int) = {
+      partBacking: mutable.ArrayBuffer[DataFrame]): (DataFrame, Long, Long, Int, Boolean) = {
     val carry = verts.columns.filter(_ != "id").toSeq
     def proj(oc: Column, ic: Column): Seq[Column] =
       (col("id") +: carry.map(col)) ++ Seq(oc.as("oc"), ic.as("ic"))
@@ -112,9 +150,15 @@ object Scc {
       "dead")
     var removedTotal = 0L
     var sweep = 0
-    while (deadCnt > 0 && sweep < maxSweeps) {
-      val (removed, _) = arena.freshCounted(degs.filter(col("dead")).select("id"))
-      partBacking += removed
+    var capped = false
+    while (deadCnt > 0 && sweep < maxSweeps && !capped) {
+      if (remaining > 1000000L && deadCnt * 1000L < remaining) {
+        capped = true
+      } else {
+      // removed rides the already-materialized degs frame: a lazy filter
+      // (no extra driver action); degs itself becomes the fragment backing.
+      val removed = degs.filter(col("dead")).select("id")
+      partBacking += degs
       assignedParts += removed.select(col("id"), col("id").as("comp"))
       // Decrement counters of the removed set's neighbors. Typical sweep:
       // removed is small → ONE pass over one edge copy with two broadcast
@@ -157,14 +201,15 @@ object Scc {
             col("ic") - coalesce(col("dIn"), lit(0L))): _*)
           .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
         "dead")
-      arena.release(degs)
+      // degs NOT released: it backs this sweep's removed fragment
       removedTotal += deadCnt
       degs = next._1
       remaining = next._2
       deadCnt = next._3
       sweep += 1
+      }
     }
-    (degs, remaining, removedTotal, sweep)
+    (degs, remaining, removedTotal, sweep, deadCnt == 0 || capped)
   }
 
   /** Outer-loop durability (north_rule "resumable from checkpoint with
@@ -260,7 +305,7 @@ object Scc {
       localSolveEdgeThreshold: Long = 250000,
       hubDegreeThreshold: Long = 2000000,
       hopsPerStep: Int = 1,
-      snapshotDir: Option[String] = None): (DataFrame, Vector[RoundMetrics]) = {
+      snapshotDir: Option[String] = None): SccRun = {
     require(hopsPerStep >= 1)
     import spark.implicits._
     val arena = new CheckpointArena
@@ -295,9 +340,22 @@ object Scc {
     var live: DataFrame = null
     var liveCount = 0L
     var round = 0
-    // whether the global pre-trim reached its fixpoint (used to skip the
-    // provably-empty round-0 trim — see below)
-    var preTrimFixpoint = true
+    // Exact running tally of assigned (id, comp) rows — every fragment's
+    // count rode its own materialization action, so the total needs no
+    // re-scan of the fragment union (the round-2 bench spent ~14% of its
+    // wall re-counting already-cached fragments). Checked against the
+    // input vertex count before returning.
+    var assigned = 0L
+    var expectedTotal = 0L
+    // whether the global trim phase is complete (fixpoint or adaptive cap)
+    // — used to skip the then-redundant round-0 trim, see below
+    var preTrimDone = true
+    // live max out/in degree from the trim fixpoint's degree counters —
+    // feeds the salting gate without re-aggregating the edge table
+    var liveMaxDegs: Option[(Long, Long)] = None
+    // whether the whole-graph local-solve shortcut applies (also excludes
+    // the salting gate: that path never aggregates pivot sets)
+    val wholeGraphLocal = numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0
     // whether `live` is known hash(id)-partitioned (lets the BFS seed skip
     // an explicit repartition when the relabel pass is also skipped)
     var liveIdPart = false
@@ -321,19 +379,21 @@ object Scc {
         // and WCC are never recomputed.
         graft.Log.v(s"scc: resuming after round $r (live=$lc, parts=${parts.size})")
         assignedParts ++= parts
+        // parquet-footer counts (metadata-only) seed the tally on resume
+        assigned = parts.map(_.count()).sum
         live = arena.fresh(liveDf.repartition(col("id")))
         liveCount = lc
         liveIdPart = true
         round = r + 1
-        preTrimFixpoint = false // conservatively run per-round trims
+        preTrimDone = false // conservatively run per-round trims
 
-      case None if numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0 =>
+      case None if wholeGraphLocal =>
         // ---- whole-graph local-solve shortcut: the ENTIRE edge set fits
         // one task, so round 0's per-group Tarjan will finish the job in a
         // single shuffle regardless of partitioning — pre-trim and the WCC
         // pre-partition would only add ~20 driver actions of pure latency.
         // One pivot group (0) routes everything to the local solver.
-        preTrimFixpoint = false
+        preTrimDone = false
         val lc = arena.freshCounted(verts.select(col("id"), lit(0L).as("pivot")))
         live = lc._1
         liveCount = lc._2
@@ -345,10 +405,12 @@ object Scc {
         // shrinks the first FW-BW round. The two initial degree
         // aggregations reuse the two persisted edge partitionings (both
         // exchange-free).
-        val (degs, _, preTrimmed, preSweeps) = trimFixpoint(
+        val (degs, _, preTrimmed, preSweeps, preDone) = trimFixpoint(
           arena, eBySrc, eByDst, verts, maxTrimSweeps, assignedParts, partBacking)
-        preTrimFixpoint = preSweeps < maxTrimSweeps
-        graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweeps sweeps")
+        preTrimDone = preDone
+        assigned += preTrimmed
+        graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweeps sweeps" +
+          (if (preDone) "" else " (maxTrimSweeps cap hit)"))
 
         // Round-0 pivot: the live vertex maximizing live-degree product
         // (in×out), ties to min id — the standard FW-BW pivot heuristic
@@ -365,13 +427,21 @@ object Scc {
         // and sum(oc) in the same pass IS the live-subgraph edge count
         // (each oc counts out-edges to live endpoints at fixpoint), which
         // lets round 0 skip building `le` entirely (see skipLe below).
+        // The same one-pass agg also captures max live out/in degree for the
+        // salting gate (reusing the trim counters saves two full-edge
+        // aggregations per call) and orders the degree product in
+        // decimal(38,0) so extreme hub-degree products can't overflow Long
+        // and misorder the argmax.
         val pivotRow = degs
-          .agg(max(struct((col("oc") * col("ic")).as("p"), (-col("id")).as("negId"))),
-            sum(col("oc")))
+          .agg(max(struct(
+              (col("oc").cast("decimal(19,0)") * col("ic")).as("p"),
+              (-col("id")).as("negId"))),
+            sum(col("oc")), max(col("oc")), max(col("ic")))
           .head()
         if (!pivotRow.isNullAt(0)) {
           val pivot0 = -pivotRow.getStruct(0).getLong(1)
           liveEdges0 = if (pivotRow.isNullAt(1)) 0L else pivotRow.getLong(1)
+          liveMaxDegs = Some((pivotRow.getLong(2), pivotRow.getLong(3)))
           graft.Log.v(s"scc: round-0 pivot $pivot0 by degree product ($liveEdges0 live edges)")
           val lc = arena.freshCounted(
             degs.select(col("id"), lit(pivot0).as("pivot")))
@@ -385,24 +455,31 @@ object Scc {
         }
         arena.release(degs)
     }
+    // every vertex is now either in an assigned fragment or live
+    expectedTotal = assigned + liveCount
 
-    // ---- skew gate: one co-partitioned degree-max per edge copy. When a
-    // hub vertex exceeds the threshold, the BFS pivot-set aggregation
-    // switches to the two-level salted build (Salting.saltedDirectionalCollectSet).
-    // (computed only when a distributed BFS can happen — a graph that fits
-    // the whole-graph local-solve shortcut never aggregates pivot sets)
-    val useSalting = liveCount > 0 &&
-      !(numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0) && {
-        val maxOutDeg = eBySrc.groupBy("src").agg(count(lit(1)).as("c"))
-          .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
-        val maxInDeg = eByDst.groupBy("dst").agg(count(lit(1)).as("c"))
-          .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
-        val hot = maxOutDeg > hubDegreeThreshold || maxInDeg > hubDegreeThreshold
-        if (hot)
-          graft.Log.v(s"scc: hub degree ${math.max(maxInDeg, maxOutDeg)} > " +
-            s"$hubDegreeThreshold — salted pivot-set aggregation on")
-        hot
+    // ---- skew gate: when a hub vertex exceeds the threshold, the BFS
+    // pivot-set aggregation switches to the two-level salted build
+    // (Salting.saltedDirectionalCollectSet). The max LIVE degrees come for
+    // free from the trim fixpoint's degree counters (captured in the pivot
+    // argmax pass) — live degrees are also the right gate: the BFS only
+    // ever aggregates over the live subgraph. Two full-edge degree
+    // aggregations run only on the rare paths that have no trim counters
+    // (durable resume). Computed only when a distributed BFS can happen —
+    // the whole-graph local-solve shortcut never aggregates pivot sets.
+    val useSalting = liveCount > 0 && !wholeGraphLocal && {
+      val (maxOutDeg, maxInDeg) = liveMaxDegs.getOrElse {
+        (eBySrc.groupBy("src").agg(count(lit(1)).as("c"))
+            .agg(coalesce(max("c"), lit(0L))).head().getLong(0),
+          eByDst.groupBy("dst").agg(count(lit(1)).as("c"))
+            .agg(coalesce(max("c"), lit(0L))).head().getLong(0))
       }
+      val hot = maxOutDeg > hubDegreeThreshold || maxInDeg > hubDegreeThreshold
+      if (hot)
+        graft.Log.v(s"scc: hub degree ${math.max(maxInDeg, maxOutDeg)} > " +
+          s"$hubDegreeThreshold — salted pivot-set aggregation on")
+      hot
+    }
 
     while (liveCount > 0 && round < maxOuter) {
       // ---- the round's partition-internal live edge table, built ONCE and
@@ -416,7 +493,7 @@ object Scc {
       // and the live edge count that decides "too big" is already known
       // from the trim degree counters (liveEdges0), so the whole O(E)
       // double join + cache is dead weight.
-      val skipLe = round == 0 && singlePivot && preTrimFixpoint &&
+      val skipLe = round == 0 && singlePivot && preTrimDone &&
         localSolveEdgeThreshold > 0 && liveEdges0 > localSolveEdgeThreshold
       val lp = live.select(col("id"), col("pivot"))
       var (le, leCnt) =
@@ -442,13 +519,12 @@ object Scc {
       // srcP === dstP, so a weak component of le stays inside one partition,
       // and each label set is still a union of SCCs.
       if (round >= 1 && leCnt > localSolveEdgeThreshold) {
-        val (wcc, wccMetrics) = Wcc.run(spark, le.select("src", "dst"), live.select("id"))
-        arena.adopt(wcc)
+        val wccRun = Wcc.run(spark, le.select("src", "dst"), live.select("id"))
         val (nl, _) = arena.freshCounted(
-          live.select("id").join(wcc, Seq("id"))
+          live.select("id").join(wccRun.components, Seq("id"))
             .select(col("id"), col("comp").as("pivot"))
             .repartition(col("id")))
-        arena.release(wcc)
+        wccRun.release()
         arena.release(live)
         live = nl
         liveIdPart = true
@@ -462,7 +538,7 @@ object Scc {
         arena.release(le)
         le = nle
         graft.Log.v(s"scc round $round: WCC-refined remainder " +
-          s"($liveCount rows, $leCnt edges) in ${wccMetrics.size} supersteps")
+          s"($liveCount rows, $leCnt edges) in ${wccRun.metrics.size} supersteps")
       }
 
       // logically-current view of le; narrowed as pivots retire within the
@@ -498,6 +574,7 @@ object Scc {
             }
             .toDF("id", "comp"))
         localSolved = solvedCnt
+        assigned += solvedCnt
         graft.Log.v(s"scc round $round: local-solved $localSolved rows")
         if (localSolved > 0) {
           assignedParts += solved
@@ -518,14 +595,17 @@ object Scc {
         // ---- trim-1 fixpoint: peel vertices with no live in- or out-edges
         // within their partition — singleton SCCs (main.cpp:54-63), via the
         // same incremental degree-decrement helper as the global pre-trim.
-        // Round 0 is provably a no-op when the pre-trim reached ITS
-        // fixpoint: edges never cross WCC partitions, so per-partition
-        // degrees equal live-graph degrees, and local-solve only removes
-        // whole partitions — skip the pass entirely in that case.
-        if (round > 0 || !preTrimFixpoint) {
-          val (degsR, remaining, trimmed, sweeps) = trimFixpoint(
+        // Skipped in round 0 when the global trim phase completed: at
+        // fixpoint it is provably a no-op (edges never cross WCC
+        // partitions, so per-partition degrees equal live-graph degrees,
+        // and local-solve only removes whole partitions); after an
+        // adaptive cap it would only re-run the same below-threshold
+        // trickle the cap deliberately left to later rounds.
+        if (round > 0 || !preTrimDone) {
+          val (degsR, remaining, trimmed, _, _) = trimFixpoint(
             arena, leLive, leLive, live, maxTrimSweeps, assignedParts, partBacking)
           trimmedTotal = trimmed
+          assigned += trimmed
           if (trimmed > 0) {
             arena.release(live)
             live = degsR // (id, pivot) survivors; oc/ic/dead ride along unused
@@ -566,6 +646,7 @@ object Scc {
                 (col("aOd") === 1 && col("bOd") === 1))
               .select(col("src"), col("dst")))
           pairTrimmed = 2 * pairsCnt
+          assigned += pairTrimmed
           if (pairsCnt > 0) {
             val pairMembers = pairs.select(col("src").as("id"), col("src").as("comp"))
               .unionByName(pairs.select(col("dst").as("id"), col("src").as("comp")))
@@ -721,6 +802,7 @@ object Scc {
           "done")
         arena.release(reachedSt)
         sccRows = doneCnt
+        assigned += doneCnt
         if (doneCnt > 0) {
           partBacking += recolored
           // comp label = newPivot = min(id) over the done color group = the
@@ -748,6 +830,12 @@ object Scc {
       round += 1
     }
     require(liveCount == 0, s"SCC did not converge in $maxOuter rounds ($liveCount live)")
+    // Exactness guarantee for assignedCount: every vertex ended up in
+    // exactly one fragment, with all counts ridden on materialization
+    // actions — a union re-count would scan the same cached blocks to
+    // learn the same number.
+    require(assigned == expectedTotal,
+      s"fragment tally $assigned != vertex total $expectedTotal — assignment bug")
 
     // The parts are already materialized; the result is their lazy union —
     // re-checkpointing it here would be one more full O(V) pass for nothing.
@@ -757,7 +845,7 @@ object Scc {
     arena.closeExcept((assignedParts ++ partBacking).toSeq: _*)
     eBySrc.unpersist(false)
     eByDst.unpersist(false)
-    (result, metrics.result())
+    new SccRun(result, metrics.result(), assigned, () => arena.closeExcept())
   }
 
 
@@ -770,16 +858,16 @@ object Scc {
       edges: DataFrame,
       vertices: DataFrame,
       mode: SccMode = FullGraph): DataFrame = {
-    val comps = mode match {
-      case FullGraph => components(spark, edges, vertices.select("id"))._1
+    val run = mode match {
+      case FullGraph => components(spark, edges, vertices.select("id"))
       case InducedU =>
         val uVerts = vertices.filter(col("isU")).select("id")
         val uEdges = edges
           .join(uVerts.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
           .join(uVerts.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        components(spark, uEdges, uVerts)._1
+        components(spark, uEdges, uVerts)
     }
-    val withU = comps.join(vertices, Seq("id"), "left")
+    val withU = run.components.join(vertices, Seq("id"), "left")
       .select(col("id"), col("comp"), coalesce(col("isU"), lit(false)).as("isU"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -806,6 +894,7 @@ object Scc {
           .as("accepted"))
       .localCheckpoint(true)
     withU.unpersist(false)
+    run.release() // out is eagerly materialized; the decomposition's blocks are spent
     out
   }
 

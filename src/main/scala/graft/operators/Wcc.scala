@@ -6,6 +6,19 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.plans.{CheckpointArena, StepMetrics, Superstep}
 
+/** Result handle for [[Wcc.run]]: the per-vertex components plus
+  * [[release]] to unpersist the cached blocks backing [[components]] once
+  * consumed (long-lived sessions otherwise accumulate storage blocks run
+  * after run). The frame must not be used after release — checkpoint
+  * lineage is truncated. Idempotent.
+  */
+final class WccRun(
+    val components: DataFrame,
+    val metrics: Vector[StepMetrics],
+    releaseFn: () => Unit) {
+  def release(): Unit = releaseFn()
+}
+
 /** Weakly connected components via alternating large-star / small-star
   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
   * SoCC'14) — north-star capability (SURVEY.md §2.3).
@@ -40,7 +53,7 @@ object Wcc {
       vertices: DataFrame,
       maxIter: Int = 50,
       roundsPerStep: Int = 1,
-      snapshotDir: Option[String] = None): (DataFrame, Vector[StepMetrics]) = {
+      snapshotDir: Option[String] = None): WccRun = {
 
     val arena = new CheckpointArena
 
@@ -78,14 +91,27 @@ object Wcc {
       .select(col("src").as("u"), col("dst").as("v"))
 
     var prevSig: Option[(Long, Long)] = None
+    var prevState: DataFrame = null
     val (links, metrics) = harness.run(links0, maxIter) { (st, _) =>
+      prevState = st
       (0 until roundsPerStep).foldLeft(st)((s, _) => smallStar(largeStar(s)))
     } { next =>
       val row = next.agg(
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
         count(lit(1))).head()
       val sig = (row.getLong(0), row.getLong(1))
-      val changed = if (prevSig.contains(sig)) 0L else 1L
+      // The 64-bit signature alone leaves a ~2^-64/round early-termination
+      // window (an xor-hash collision). On FIRST stability, one exact
+      // confirmation closes it: counts already match (part of sig) and both
+      // sides are distinct link sets, so one-direction set difference being
+      // empty proves equality. Cost: one extra job per RUN, not per round.
+      val changed =
+        if (!prevSig.contains(sig)) 1L
+        else if (prevState != null &&
+          !next.select("u", "v").except(prevState.select("u", "v")).isEmpty) {
+          graft.Log.v("wcc: signature collision — exact check forced another round")
+          1L
+        } else 0L
       graft.Log.v(s"wcc round: links=${sig._2} changed=$changed")
       prevSig = Some(sig)
       changed
@@ -104,6 +130,6 @@ object Wcc {
 
     val result = arena.fresh(out)
     arena.closeExcept(result)
-    (result, metrics)
+    new WccRun(result, metrics, () => arena.closeExcept())
   }
 }

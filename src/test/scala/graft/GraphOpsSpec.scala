@@ -9,7 +9,8 @@ class WccSpec extends SparkTest {
     for (name <- Seq("sample_graph", "sample_graph5", "sample_graph8")) {
       val (edges, n, _) = fixture(name)
       val expected = Oracle.wcc(0L until n, edges)
-      val (got, _) = Wcc.run(spark, edgesDf(edges), vertsDf(0L until n))
+      val run1 = Wcc.run(spark, edgesDf(edges), vertsDf(0L until n))
+      val got = run1.components
       assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected, name)
     }
   }
@@ -17,7 +18,9 @@ class WccSpec extends SparkTest {
   test("wcc on a long path converges in O(log) rounds, not O(diameter) supersteps") {
     val edges = (0L until 200L).map(i => (i, i + 1))
     val expected = Oracle.wcc(0L to 200L, edges)
-    val (got, metrics) = Wcc.run(spark, edgesDf(edges), vertsDf(0L to 200L))
+    val run2 = Wcc.run(spark, edgesDf(edges), vertsDf(0L to 200L))
+    val got = run2.components
+    val metrics = run2.metrics
     assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
     assert(metrics.size < 30, s"took ${metrics.size} supersteps for diameter 200")
   }
@@ -26,14 +29,16 @@ class WccSpec extends SparkTest {
     val spec = GraphSpec(numCycles = 30, maxCycleLen = 8, extraArcsPerVertex = 0.2, seed = 5L)
     val edges = GraphGen.edges(spark, spec).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val expected = Oracle.wcc(0L until spec.numVertices, edges)
-    val (got, _) = Wcc.run(spark, GraphGen.edges(spark, spec), GraphGen.vertices(spark, spec))
+    val run3 = Wcc.run(spark, GraphGen.edges(spark, spec), GraphGen.vertices(spark, spec))
+    val got = run3.components
     assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
   }
 
   test("wcc with roundsPerStep=2 converges to the same labels") {
     val (edges, n, _) = fixture("sample_graph8")
     val expected = Oracle.wcc(0L until n, edges)
-    val (got, _) = Wcc.run(spark, edgesDf(edges), vertsDf(0L until n), roundsPerStep = 2)
+    val run4 = Wcc.run(spark, edgesDf(edges), vertsDf(0L until n), roundsPerStep = 2)
+    val got = run4.components
     assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
   }
 }
@@ -42,7 +47,8 @@ class PageRankSpec extends SparkTest {
   test("pagerank matches power iteration within 1e-6 and sums to 1") {
     val (edges, n, _) = fixture("sample_graph")
     val expected = Oracle.pagerank(0L until n, edges)
-    val (got, _) = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n))
+    val run5 = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n))
+    val got = run5.ranks
     val gotMap = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(gotMap.values.sum - 1.0) < 1e-9)
     for (v <- 0L until n)
@@ -52,7 +58,8 @@ class PageRankSpec extends SparkTest {
   test("pagerank with dangling vertices (sinks) still sums to 1") {
     val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L)) // 2 is a sink
     val expected = Oracle.pagerank(Seq(0L, 1L, 2L), edges)
-    val (got, _) = PageRank.run(spark, edgesDf(edges), vertsDf(Seq(0L, 1L, 2L)))
+    val run6 = PageRank.run(spark, edgesDf(edges), vertsDf(Seq(0L, 1L, 2L)))
+    val got = run6.ranks
     val gotMap = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(gotMap.values.sum - 1.0) < 1e-9)
     for (v <- Seq(0L, 1L, 2L))
@@ -61,10 +68,12 @@ class PageRankSpec extends SparkTest {
 
   test("itersPerStep=2 runs exactly maxIter iterations (oracle-critical)") {
     val (edges, n, _) = fixture("sample_graph")
-    val (a, _) = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n),
+    val run7 = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n),
       tol = 0.0, maxIter = 5, itersPerStep = 1)
-    val (b, _) = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n),
+    val a = run7.ranks
+    val run8 = PageRank.run(spark, edgesDf(edges), vertsDf(0L until n),
       tol = 0.0, maxIter = 5, itersPerStep = 2)
+    val b = run8.ranks
     val am = a.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bm = b.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     for (v <- 0L until n) assert(math.abs(am(v) - bm(v)) < 1e-12, s"vertex $v")
@@ -96,6 +105,39 @@ class TrianglesSpec extends SparkTest {
     val per = Triangles.perVertex(spark, e).agg(sum("triangles")).head().getLong(0)
     assert(per == 3 * total)
   }
+
+  test("perVertex matches brute force on a fixture") {
+    val (edges, n, _) = fixture("sample_graph")
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val verts = 0L until n
+    val expected = (for {
+      x <- verts; y <- verts if x < y && und((x, y))
+      z <- verts if y < z && und((y, z)) && und((x, z))
+    } yield Seq(x, y, z)).flatten
+      .groupBy(identity).map { case (v, c) => v -> c.size.toLong }
+    val got = Triangles.perVertex(spark, edgesDf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("perVertex on a skewed hub (degree ~10^3): exact counts, no hub fan-out") {
+    // Star hub 0 ↔ spokes 1..n plus a consecutive spoke chain: one triangle
+    // {0, i, i+1} per adjacent spoke pair. The degree-n hub is the HIGHEST-
+    // rank endpoint of every star edge under degree-ordered orientation, so
+    // wedges fan out only from the degree-≤3 spokes — O(1) rows per spoke
+    // instead of the O(n²) wedge blow-up the unoriented plan generated
+    // (the round-2 perVertex defect this test pins).
+    val n = 1000L
+    val edges = (1L to n).map(i => (0L, i)) ++ (1L until n).map(i => (i, i + 1))
+    val got = Triangles.perVertex(spark, edgesDf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (Map(0L -> (n - 1)) ++ (1L to n).map { i =>
+      i -> Seq(i - 1, i + 1).count(j => j >= 1 && j <= n).toLong
+    }).filter(_._2 > 0)
+    assert(got == expected)
+    assert(Triangles.total(spark, edgesDf(edges)).head().getLong(0) == n - 1)
+  }
 }
 
 class DegreesSpec extends SparkTest {
@@ -123,7 +165,7 @@ class LabelPropSpec extends SparkTest {
     val edges = Seq((0L, 2L), (1L, 2L), (0L, 4L), (1L, 4L), (5L, 4L), (2L, 3L))
     val got = LabelProp.run(spark, edgesDf(edges), vertsDf(0L to 6L),
       seedsDf(Seq((0L, 5L), (1L, 7L), (5L, 7L))), iterations = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 5L, 1L -> 7L, 2L -> 5L, 3L -> 5L, 4L -> 7L,
       5L -> 7L, 6L -> -1L))
   }
@@ -132,7 +174,7 @@ class LabelPropSpec extends SparkTest {
     val edges = Seq((0L, 1L), (1L, 2L))
     val got = LabelProp.run(spark, edgesDf(edges), vertsDf(0L to 2L),
       seedsDf(Seq((0L, 9L))), iterations = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 9L, 1L -> 9L, 2L -> -1L))
   }
 
@@ -163,7 +205,38 @@ class LabelPropSpec extends SparkTest {
 
     val got = LabelProp.run(spark, edgesDf(edges), vertsDf(verts),
       seedsDf(seeds.toSeq), iterations = iters)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+  }
+
+  test("duplicate seed ids resolve to the min label (no state-row multiplication)") {
+    val edges = Seq((0L, 1L))
+    val got = LabelProp.run(spark, edgesDf(edges), vertsDf(0L to 1L),
+      seedsDf(Seq((0L, 7L), (0L, 3L))), iterations = 1)
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one state row per vertex, seed 0 clamped to min(7,3)=3, one vote out
+    assert(got == Map(0L -> 3L, 1L -> 3L))
+  }
+
+  test("release() returns cached storage to baseline (Wcc, PageRank, LabelProp)") {
+    def blocks = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L))
+    val base = blocks
+    val w = Wcc.run(spark, edgesDf(edges), vertsDf(0L to 4L))
+    w.components.count()
+    assert(blocks > base, "WccRun should hold cached blocks before release")
+    w.release()
+    assert(blocks == base, s"Wcc blocks after release: $blocks vs $base")
+    val p = PageRank.run(spark, edgesDf(edges), vertsDf(0L to 4L), maxIter = 3)
+    p.ranks.count()
+    assert(blocks > base)
+    p.release()
+    assert(blocks == base, s"PageRank blocks after release: $blocks vs $base")
+    val l = LabelProp.run(spark, edgesDf(edges), vertsDf(0L to 4L),
+      seedsDf(Seq((0L, 1L))), iterations = 2)
+    l.labels.count()
+    assert(blocks > base)
+    l.release()
+    assert(blocks == base, s"LabelProp blocks after release: $blocks vs $base")
   }
 }

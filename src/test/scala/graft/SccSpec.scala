@@ -18,8 +18,9 @@ class SccSpec extends SparkTest {
   private def checkDecomposition(edges: Seq[(Long, Long)], vertices: Seq[Long]): Unit = {
     val expected = Oracle.tarjan(vertices, edges)
     for (threshold <- Seq(250000L, 0L, 1L)) {
-      val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+      val run1 = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
         localSolveEdgeThreshold = threshold)
+      val got = run1.components
       val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gotMap == expected, s"threshold=$threshold")
     }
@@ -46,8 +47,10 @@ class SccSpec extends SparkTest {
     // extracts one cycle (single degree-product pivot), round 1's WCC
     // refinement must then give every remaining weak component its own
     // pivot — 20 components may not serialize into ~20 rounds.
-    val (got, metrics) = Scc.components(spark, edgesDf(edges),
+    val run2 = Scc.components(spark, edgesDf(edges),
       vertsDf(0L until 60L), localSolveEdgeThreshold = 0)
+    val got = run2.components
+    val metrics = run2.metrics
     got.count()
     assert(metrics.size <= 3, s"rounds=${metrics.size}")
   }
@@ -78,8 +81,9 @@ class SccSpec extends SparkTest {
       val thresholds = if (name.endsWith("8") || name == "sample_graph") Seq(250000L, 0L)
         else Seq(250000L)
       for (threshold <- thresholds) {
-        val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+        val run3 = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
           localSolveEdgeThreshold = threshold)
+        val got = run3.components
         val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(gotMap == expected, s"fixture $name threshold=$threshold")
       }
@@ -150,8 +154,9 @@ class SccSpec extends SparkTest {
     // threshold=12 forces mixed routing: big merged components run the
     // distributed FW-BW loop, small cycles route to local Tarjan.
     for (threshold <- Seq(250000L, 12L)) {
-      val (got, _) = Scc.components(spark, GraphGen.edges(spark, spec),
+      val run4 = Scc.components(spark, GraphGen.edges(spark, spec),
         GraphGen.vertices(spark, spec), localSolveEdgeThreshold = threshold)
+      val got = run4.components
       val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gotMap == expected, s"threshold=$threshold")
     }
@@ -161,8 +166,10 @@ class SccSpec extends SparkTest {
     val spec = GraphSpec(numCycles = 20, maxCycleLen = 6, extraArcsPerVertex = 0.4, seed = 3L)
     val e = GraphGen.edges(spark, spec)
     val v = GraphGen.vertices(spark, spec)
-    val (a, _) = Scc.components(spark, e.repartition(2), v.repartition(2))
-    val (b, _) = Scc.components(spark, e.repartition(13), v.repartition(7))
+    val run5 = Scc.components(spark, e.repartition(2), v.repartition(2))
+    val a = run5.components
+    val run6 = Scc.components(spark, e.repartition(13), v.repartition(7))
+    val b = run6.components
     assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
@@ -177,8 +184,9 @@ class SccSpec extends SparkTest {
     assert(edges.size > 30000 && edges.size < 60000, s"edge count ${edges.size}")
     val vertices = 0L until n
     val expected = Oracle.tarjan(vertices, edges)
-    val (got, _) = Scc.components(spark, eDf,
+    val run7 = Scc.components(spark, eDf,
       GraphGen.midTestVertices(spark, spec, n).select("id"))
+    val got = run7.components
     assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
 
     // the reference's U recipe (generate.py:146-147): members of ~half the
@@ -196,8 +204,9 @@ class SccSpec extends SparkTest {
   test("multi-hop BFS (hopsPerStep=2) produces the same decomposition") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 3L), (2L, 3L))
     val vertices = Seq(0L, 1L, 2L, 3L, 4L)
-    val (got, _) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+    val run8 = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
       localSolveEdgeThreshold = 0, hopsPerStep = 2)
+    val got = run8.components
     assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Oracle.tarjan(vertices, edges))
   }
@@ -215,8 +224,10 @@ class SccSpec extends SparkTest {
     val edges = (1L until n).flatMap(i => Seq((0L, i), (i, 0L))) ++
       (1L until n).flatMap(i => Seq((5000L, 5000L + i), (5000L + i, 5000L)))
     val vertices = (0L until n) ++ (5000L until (5000L + n))
-    val (got, metrics) = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+    val run9 = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
       localSolveEdgeThreshold = 0, hubDegreeThreshold = 100)
+    val got = run9.components
+    val metrics = run9.metrics
     val comps = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 2 * n &&
       (0L until n).forall(i => comps(i) == 0L) &&
@@ -237,7 +248,8 @@ class SccSpec extends SparkTest {
     assert(g.vertices.filter(col("isU")).collect().map(_.getLong(0)).toSet == u)
     assert(g.vertices.count() == n)
     // the distributed reader's output drives the engine to the Tarjan answer
-    val (got, _) = Scc.components(spark, g.edges, g.vertices.select("id"))
+    val run10 = Scc.components(spark, g.edges, g.vertices.select("id"))
+    val got = run10.components
     assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Oracle.tarjan(0L until n, edges))
   }
@@ -250,6 +262,21 @@ class SccSpec extends SparkTest {
     java.nio.file.Files.writeString(tmp, text)
     val out = SccCli.run(spark, tmp.toString, Scc.InducedU)
     assert(out == Seq("accepted SCCs: 1", "SCC:", "0", "1", "4"), out.toString)
+  }
+
+  test("release() returns cached storage blocks to baseline; assignedCount exact") {
+    def blocks = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 3L))
+    val verts = 0L to 4L
+    val base = blocks
+    val run = Scc.components(spark, edgesDf(edges), vertsDf(verts),
+      localSolveEdgeThreshold = 0) // distributed path = maximal arena usage
+    // the tallied count equals the real union count without a prior scan
+    assert(run.assignedCount == verts.size)
+    assert(run.components.count() == run.assignedCount)
+    assert(blocks > base, "SccRun should hold cached fragment blocks before release")
+    run.release()
+    assert(blocks == base, s"blocks after release: $blocks vs baseline $base")
   }
 
   test("kill-between-rounds resume: snapshot manifest restores the outer loop") {
@@ -271,8 +298,10 @@ class SccSpec extends SparkTest {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "scc.manifest.jsonl")))
 
     // restart with the same snapshotDir: resumes after round 0 and completes
-    val (resumed, resumedMetrics) = Scc.components(spark, e, v,
+    val run11 = Scc.components(spark, e, v,
       localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
+    val resumed = run11.components
+    val resumedMetrics = run11.metrics
     val expected = Oracle.tarjan(vertices, edges)
     assert(resumed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
     // and it genuinely resumed (first recorded round is > 0), not restarted
