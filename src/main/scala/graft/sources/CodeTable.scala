@@ -91,6 +91,15 @@ object CodeTable {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Empty frame with the code-table read schema (partition column last,
+    * as a partitioned read produces it) — for empty catalog scans. */
+  private[sources] def schemaOnly(spark: SparkSession): DataFrame = {
+    val cols = schema.fields.filter(_.name != "lang").map(f => StructField(f.name, f.dataType)) :+
+      StructField("lang", StringType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(cols))
+  }
+
   /** Regexes per language; group 1 captures the referenced stem `f\d{9}`. */
   private val importRe = Map(
     "scala" -> "import pkg\\.(f[0-9]{9})",
