@@ -9,21 +9,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * `mapPartitions` over a typed Dataset, amortizing codec setup across a
   * whole partition).
   *
-  * Codecs: images are REAL binary PPM (P6) and audio is REAL RIFF/WAV
-  * PCM-16 — both fully decoded/encoded in pure JVM code below, no external
-  * libraries (this container ships none). Video has no sanely pure-JVM
-  * container format, so it stays behind the clearly-marked [[FakeCodec]]
-  * stub; swapping in a real demuxer changes only that object.
+  * Codecs — all REAL and pure-JVM (this container ships no media libs):
+  * binary PPM (P6) images, RIFF/WAV PCM-16 audio, and RIFF/AVI video with
+  * uncompressed BGR24 (`DIB `) frames — demux, per-frame decode to RGB,
+  * and encode. Compressed video codecs (H.264 etc.) are out of scope: the
+  * AVI container walk is general, but frame decode requires BI_RGB.
   */
 object Multimodal {
 
   /** An asset row: media bytes + provenance. */
   final case class Asset(assetId: Long, kind: String, bytes: Array[Byte], source: String)
 
-  /** Decoded metadata + (for image/audio) the still-encoded payload.
+  /** Decoded metadata + the still-encoded payload.
     * Field mapping per kind — image: width×height pixels, frames=1;
     * audio: width=sampleRate, height=channels, frames=samples/channel;
-    * video (stub): fake-header fields.
+    * video: width×height pixels per frame, frames=frame count.
     */
   final case class DecodedAsset(
       assetId: Long, kind: String, width: Int, height: Int,
@@ -166,25 +166,161 @@ object Multimodal {
     }
   }
 
-  /** STUB codec for video only: no video container is sanely decodable in
-    * pure JVM without codecs, so this parses our own 12-byte header
-    * (bytes 0..3 width, 4..7 height, 8..11 frame count, big-endian) over an
-    * opaque payload. A real implementation swaps in a demuxer here — the
-    * only code that changes.
+  /** RIFF/AVI video codec, uncompressed bottom-up BGR24 frames (`DIB `
+    * handler, `biCompression = 0`) — the classic Video-for-Windows layout,
+    * fully demuxable and decodable in pure JVM:
+    *
+    * {{{
+    * RIFF <sz> AVI
+    *   LIST <sz> hdrl
+    *     avih <56>            // MainAVIHeader: µs/frame, totalFrames, w, h …
+    *     LIST <sz> strl
+    *       strh <56>          // 'vids'/'DIB ' stream header, rate/scale
+    *       strf <40>          // BITMAPINFOHEADER: 24bpp, BI_RGB
+    *   LIST <sz> movi
+    *     00db <len> <frame>   // rows bottom-up, BGR, 4-byte-aligned stride
+    *     …
+    * }}}
+    *
+    * [[Video.frames]] holds frames as top-down RGB (the orientation every
+    * other operator here uses); encode/decode do the BGR/flip/stride
+    * conversion. Compressed codecs (MJPG etc.) are intentionally out of
+    * scope — the container walk would accept them but the frame decode
+    * requires BI_RGB.
     */
-  object FakeCodec {
-    def decode(a: Asset): DecodedAsset = {
-      def be32(off: Int): Int =
-        if (a.bytes.length < off + 4) 0
-        else ((a.bytes(off) & 0xff) << 24) | ((a.bytes(off + 1) & 0xff) << 16) |
-          ((a.bytes(off + 2) & 0xff) << 8) | (a.bytes(off + 3) & 0xff)
-      DecodedAsset(a.assetId, a.kind, be32(0), be32(4), be32(8),
-        a.bytes.drop(12))
+  object Avi {
+    final case class Video(width: Int, height: Int, fps: Int, frames: Vector[Array[Byte]])
+
+    private def stride(w: Int): Int = (w * 3 + 3) & ~3
+
+    private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1 // RIFF chunks are word-aligned
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      out.array()
+    }
+
+    private def list(kind: String, listType: String, children: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + children.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(kind.getBytes("US-ASCII")).putInt(4 + children.length)
+        .put(listType.getBytes("US-ASCII")).put(children)
+      out.array()
+    }
+
+    def encode(v: Video): Array[Byte] = {
+      val w = v.width; val h = v.height; val st = stride(w)
+      val le = java.nio.ByteOrder.LITTLE_ENDIAN
+      val avih = java.nio.ByteBuffer.allocate(56).order(le)
+      avih.putInt(1000000 / math.max(1, v.fps)) // µs per frame
+        .putInt(st * h * v.fps)                 // max bytes/sec
+        .putInt(0).putInt(0)
+        .putInt(v.frames.length)                // total frames
+        .putInt(0).putInt(1)                    // initial frames, streams
+        .putInt(st * h)                         // suggested buffer
+        .putInt(w).putInt(h)
+      val strh = java.nio.ByteBuffer.allocate(56).order(le)
+      strh.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(math.max(1, v.fps))   // scale, rate (fps = rate/scale)
+        .putInt(0).putInt(v.frames.length)      // start, length
+        .putInt(st * h).putInt(-1).putInt(0)    // bufSize, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      val strf = java.nio.ByteBuffer.allocate(40).order(le)
+      strf.putInt(40).putInt(w).putInt(h)       // biSize, biWidth, biHeight (+: bottom-up)
+        .putShort(1).putShort(24)               // planes, bpp
+        .putInt(0)                              // BI_RGB
+        .putInt(st * h).putInt(0).putInt(0).putInt(0).putInt(0)
+      val hdrl = list("LIST", "hdrl",
+        chunk("avih", avih.array()) ++
+          list("LIST", "strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+      val movi = list("LIST", "movi",
+        v.frames.iterator.map { rgb =>
+          require(rgb.length == w * h * 3, s"frame must be ${w * h * 3} bytes")
+          val dib = new Array[Byte](st * h)
+          var y = 0
+          while (y < h) {
+            val srcRow = y * w * 3          // top-down RGB in
+            val dstRow = (h - 1 - y) * st   // bottom-up BGR out
+            var x = 0
+            while (x < w) {
+              dib(dstRow + x * 3) = rgb(srcRow + x * 3 + 2)
+              dib(dstRow + x * 3 + 1) = rgb(srcRow + x * 3 + 1)
+              dib(dstRow + x * 3 + 2) = rgb(srcRow + x * 3)
+              x += 1
+            }
+            y += 1
+          }
+          chunk("00db", dib)
+        }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray))
+      list("RIFF", "AVI ", hdrl ++ movi)
+    }
+
+    def decode(bytes: Array[Byte]): Video = {
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF file")
+      buf.getInt
+      require(fourcc() == "AVI ", "not an AVI file")
+      var w = 0; var h = 0; var fps = 1
+      var bpp = 0; var compression = -1
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(end: Int): Unit = {
+        while (buf.position() + 8 <= end) {
+          val id = fourcc()
+          val len = buf.getInt
+          val next = buf.position() + len + (len & 1)
+          id match {
+            case "LIST" => buf.getInt /* list type */; walk(buf.position() + len - 4)
+            case "avih" =>
+              val micros = buf.getInt
+              if (micros > 0) fps = math.max(1, (1000000.0 / micros).round.toInt)
+              buf.getInt; buf.getInt; buf.getInt; buf.getInt; buf.getInt; buf.getInt
+              buf.getInt
+              w = buf.getInt; h = buf.getInt
+            case "strf" =>
+              buf.getInt; buf.getInt; buf.getInt; buf.getShort
+              bpp = buf.getShort
+              compression = buf.getInt
+            case "00db" | "00dc" =>
+              require(compression == 0 && bpp == 24,
+                s"only uncompressed BGR24 frames supported (bpp=$bpp comp=$compression)")
+              val st = stride(w)
+              require(len >= st * h, s"short frame chunk: $len < ${st * h}")
+              val dib = new Array[Byte](st * h)
+              buf.get(dib)
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                val srcRow = (h - 1 - y) * st
+                val dstRow = y * w * 3
+                var x = 0
+                while (x < w) {
+                  rgb(dstRow + x * 3) = dib(srcRow + x * 3 + 2)
+                  rgb(dstRow + x * 3 + 1) = dib(srcRow + x * 3 + 1)
+                  rgb(dstRow + x * 3 + 2) = dib(srcRow + x * 3)
+                  x += 1
+                }
+                y += 1
+              }
+              frames += rgb
+            case _ => // skip idx1, JUNK, strn, …
+          }
+          buf.position(next)
+        }
+      }
+      walk(bytes.length)
+      require(w > 0 && h > 0, "no avih header")
+      Video(w, h, fps, frames.result())
     }
   }
 
   /** Synthesize a deterministic asset table: REAL P6 images (gradient +
-    * id-seeded noise), REAL PCM16 WAVs (id-pitched sine), fake-format video.
+    * id-seeded noise), REAL PCM16 WAVs (id-pitched sine), REAL BGR24 AVIs
+    * (per-frame deterministic gradient animation).
     */
   def syntheticAssets(spark: SparkSession, n: Long): Dataset[Asset] = {
     import spark.implicits._
@@ -206,22 +342,21 @@ object Multimodal {
             (math.sin(2 * math.Pi * freq * i / sr) * 12000).toShort)
           Asset(id, "audio", Wav.encode(Wav.Audio(1, sr, samples)), s"synth://$id")
         case _ =>
-          val w = 64 + (id % 64).toInt; val h = 64 + (id % 48).toInt
-          val f = 1 + (id % 30).toInt
-          val header = Array[Byte](
-            (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
-            (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
-            (f >> 24).toByte, (f >> 16).toByte, (f >> 8).toByte, f.toByte)
-          val payload = Array.tabulate(256)(i =>
-            (scala.util.hashing.MurmurHash3.productHash((id, i)) & 0xff).toByte)
-          Asset(id, "video", header ++ payload, s"synth://$id")
+          val w = 16 + (id % 16).toInt; val h = 12 + (id % 12).toInt
+          val f = 2 + (id % 12).toInt
+          val frames = Vector.tabulate(f) { t =>
+            Array.tabulate(w * h * 3) { i =>
+              ((i + t * 7 + id * 31) % 251).toByte
+            }
+          }
+          Asset(id, "video", Avi.encode(Avi.Video(w, h, 10, frames)), s"synth://$id")
       }
     }
   }
 
   /** Decode metadata for every asset — batched per partition so codec init
-    * is paid once per task, not per row. Images/audio go through the REAL
-    * parsers; video through the stub.
+    * is paid once per task, not per row. All three kinds go through the
+    * REAL parsers.
     */
   def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
@@ -235,7 +370,9 @@ object Multimodal {
             val au = Wav.decode(a.bytes)
             DecodedAsset(a.assetId, a.kind, au.sampleRate, au.channels,
               au.samples.length / au.channels, a.bytes)
-          case _ => FakeCodec.decode(a)
+          case _ =>
+            val v = Avi.decode(a.bytes)
+            DecodedAsset(a.assetId, a.kind, v.width, v.height, v.frames.length, a.bytes)
         }
       }
     }
@@ -243,8 +380,8 @@ object Multimodal {
 
   /** Extract a fixed-size feature vector (dim `d`, L1-normalized) per asset:
     * images → luminance histogram over REAL decoded pixels; audio → per-bin
-    * mean |amplitude| over REAL decoded samples; video (stub) → payload
-    * byte histogram.
+    * mean |amplitude| over REAL decoded samples; video → luminance
+    * histogram over the REAL decoded frames.
     */
   def features(decoded: Dataset[DecodedAsset], d: Int = 16): Dataset[AssetFeatures] = {
     import decoded.sparkSession.implicits._
@@ -272,8 +409,16 @@ object Multimodal {
               i += 1
             }
           case _ =>
-            var i = 0
-            while (i < a.bytes.length) { v((a.bytes(i) & 0xff) % d) += 1f; i += 1 }
+            val vid = Avi.decode(a.bytes)
+            vid.frames.foreach { rgb =>
+              var i = 0
+              while (i + 2 < rgb.length) {
+                val lum = ((rgb(i) & 0xff) * 299 + (rgb(i + 1) & 0xff) * 587 +
+                  (rgb(i + 2) & 0xff) * 114) / 1000
+                v(lum * d / 256) += 1f
+                i += 3
+              }
+            }
         }
         val s = math.max(1e-9f, v.sum)
         AssetFeatures(a.assetId, a.kind, v.map(_ / s))
@@ -281,19 +426,21 @@ object Multimodal {
     }
   }
 
-  /** Sample up to `k` evenly-spaced "frames" from each video payload
-    * (slices of the byte stream — the partitioning/explode shape of real
-    * frame sampling). Output one row per (assetId, frameIdx, frameBytes).
+  /** Sample up to `k` evenly-spaced REAL frames from each video: demux the
+    * AVI, decode the chosen frames to RGB, and emit each as a P6 image —
+    * so every downstream IMAGE operator (features, resize, dedup)
+    * composes directly over sampled frames. Output one row per
+    * (assetId, frameIdx, frameBytes).
     */
   def sampleFrames(decoded: Dataset[DecodedAsset], k: Int = 4): DataFrame = {
     import decoded.sparkSession.implicits._
     decoded.filter(_.kind == "video").flatMap { a =>
-      val frames = math.max(1, a.frames)
+      val v = Avi.decode(a.bytes)
+      val frames = math.max(1, v.frames.length)
       val take = math.min(k, frames)
-      val frameLen = math.max(1, a.bytes.length / frames)
       (0 until take).map { i =>
         val fi = (i.toLong * frames / take).toInt
-        (a.assetId, fi, a.bytes.slice(fi * frameLen, (fi + 1) * frameLen))
+        (a.assetId, fi, Ppm.encode(Ppm.Image(v.width, v.height, v.frames(fi))))
       }
     }.toDF("assetId", "frameIdx", "frameBytes")
   }

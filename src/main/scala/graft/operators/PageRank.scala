@@ -69,35 +69,37 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesBySrc.count()
 
-    // The checkpointed superstep state is the MINIMUM that must evolve:
-    // (id, rank, changed) — 3 UnsafeRow slots. outDeg is static, so it
-    // re-joins per use from the persisted id-partitioned `verts` (two
-    // exchange-free co-partitioned joins per iteration) instead of riding
-    // every checkpoint: per-step checkpointed bytes drop 25%, which is the
-    // term that matters at 10^8-vertex states.
-    val state0 = verts.select(col("id"), lit(1.0 / n).as("rank"),
+    // State slimming to (id, rank, changed) with outDeg re-joined per use
+    // from the persisted verts was TRIED and MEASURED NEGATIVE (round 3,
+    // BASELINE.md "PageRank state A/B"): the 25% checkpoint-byte cut was
+    // outweighed by two extra joins per iteration — Catalyst broadcasts the
+    // sub-10MB verts side and a superstep is a fresh query, so every
+    // iteration paid fresh broadcast builds; q_pagerank_topk 10.0 → 13.5 s
+    // and both scaling legs −38%. The static outDeg column riding the
+    // checkpoint is the cheaper carrier at any scale where the join build
+    // isn't free.
+    val state0 = verts.select(col("id"), col("outDeg"), lit(1.0 / n).as("rank"),
       lit(true).as("changed"))
 
     // One rank update. Dangling mass rides the plan as a broadcast 1-row
     // aggregate — folding it in keeps each update scalar-action-free; a
     // `.head()` here would add a job per iteration.
     def update(state: DataFrame): DataFrame = {
-      val withDeg = state.join(verts, Seq("id")) // co-partitioned, no exchange
-
-      val danglingDf = withDeg.filter(col("outDeg") === 0)
+      val danglingDf = state.filter(col("outDeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0)).as("danglingMass"))
 
-      val contribs = withDeg
-        .join(edgesBySrc, withDeg("id") === edgesBySrc("src"))
+      val contribs = state
+        .join(edgesBySrc, state("id") === edgesBySrc("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outDeg")).as("contrib"))
 
       state
-        .select(col("id"), col("rank").as("prevRank"))
+        .select(col("id"), col("outDeg"), col("rank").as("prevRank"))
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(danglingDf))
         .select(
           col("id"),
+          col("outDeg"),
           (lit((1.0 - alpha) / n) +
             lit(alpha) * (coalesce(col("contrib"), lit(0.0)) + col("danglingMass") / n))
             .as("rank"),

@@ -218,25 +218,30 @@ class LabelPropSpec extends SparkTest {
     assert(got == Map(0L -> 3L, 1L -> 3L))
   }
 
-  test("release() returns cached storage to baseline (Wcc, PageRank, LabelProp)") {
-    def blocks = spark.sparkContext.getPersistentRDDs.size
+  test("release() drops every cached block a run created (Wcc, PageRank, LabelProp)") {
+    // attribution by RDD id — a global block COUNT races Spark's
+    // ContextCleaner, which asynchronously unpersists unreferenced frames
+    // from earlier tests in the shared session
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L))
-    val base = blocks
+    def checkReleased(created: Set[Int], release: () => Unit, what: String): Unit = {
+      assert(created.nonEmpty, s"$what should hold cached blocks before release")
+      release()
+      val leaked = created.intersect(ids.toSet)
+      assert(leaked.isEmpty, s"$what blocks remaining after release: $leaked")
+    }
+    val before1 = ids.toSet
     val w = Wcc.run(spark, edgesDf(edges), vertsDf(0L to 4L))
     w.components.count()
-    assert(blocks > base, "WccRun should hold cached blocks before release")
-    w.release()
-    assert(blocks == base, s"Wcc blocks after release: $blocks vs $base")
+    checkReleased(ids.toSet -- before1, () => w.release(), "WccRun")
+    val before2 = ids.toSet
     val p = PageRank.run(spark, edgesDf(edges), vertsDf(0L to 4L), maxIter = 3)
     p.ranks.count()
-    assert(blocks > base)
-    p.release()
-    assert(blocks == base, s"PageRank blocks after release: $blocks vs $base")
+    checkReleased(ids.toSet -- before2, () => p.release(), "PageRankRun")
+    val before3 = ids.toSet
     val l = LabelProp.run(spark, edgesDf(edges), vertsDf(0L to 4L),
       seedsDf(Seq((0L, 1L))), iterations = 2)
     l.labels.count()
-    assert(blocks > base)
-    l.release()
-    assert(blocks == base, s"LabelProp blocks after release: $blocks vs $base")
+    checkReleased(ids.toSet -- before3, () => l.release(), "LabelPropRun")
   }
 }

@@ -307,7 +307,30 @@ class MultimodalSpec extends SparkTest {
     assert(Multimodal.Wav.decode(spliced).samples.sameElements(samples))
   }
 
-  test("decode/features/frames/resize over mixed real+stub assets") {
+  test("AVI codec: round-trip with row padding; junk chunks skipped") {
+    // w=21 → row 63 bytes → stride 64: exercises the 4-byte row alignment
+    val w = 21; val h = 14
+    val frames = Vector.tabulate(5)(t =>
+      Array.tabulate(w * h * 3)(i => ((i * 3 + t * 11) % 256).toByte))
+    val bytes = Multimodal.Avi.encode(Multimodal.Avi.Video(w, h, 10, frames))
+    val v = Multimodal.Avi.decode(bytes)
+    assert(v.width == w && v.height == h && v.fps == 10 && v.frames.length == 5)
+    assert(v.frames.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // container walk skips unknown chunks (idx1/JUNK appear in real files):
+    // splice a JUNK chunk between hdrl and movi and fix the RIFF size
+    val hdrlLen = 8 + java.nio.ByteBuffer.wrap(bytes, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val at = 12 + hdrlLen
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = bytes.take(at) ++ junk ++ bytes.drop(at)
+    val riffLen = spliced.length - 8
+    spliced(4) = riffLen.toByte; spliced(5) = (riffLen >> 8).toByte
+    spliced(6) = (riffLen >> 16).toByte; spliced(7) = (riffLen >> 24).toByte
+    val v2 = Multimodal.Avi.decode(spliced)
+    assert(v2.frames.length == 5 && v2.frames.head.sameElements(frames.head))
+  }
+
+  test("decode/features/frames/resize over mixed assets — all real codecs") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val dec = Multimodal.decode(assets)
     val d = dec.collect()
@@ -325,9 +348,20 @@ class MultimodalSpec extends SparkTest {
     // no bin should hold more than half the mass
     assert(feats.filter(_.kind == "audio").forall(_.features.max < 0.5f))
 
+    // video metadata comes from the real demuxer: frames = 2 + id%12
+    assert(d.filter(_.kind == "video").forall(a => a.frames == 2 + (a.assetId % 12)))
+
     val frames = Multimodal.sampleFrames(dec, 3)
     val perAsset = frames.groupBy("assetId").count().collect()
     assert(perAsset.nonEmpty && perAsset.forall(_.getLong(1) <= 3))
+    // sampled frames are REAL decoded pixels re-encoded as P6: each one
+    // re-decodes to the video's frame dimensions
+    val byId = d.filter(_.kind == "video").map(a => a.assetId -> a).toMap
+    frames.collect().foreach { r =>
+      val img = Multimodal.Ppm.decode(r.getAs[Array[Byte]]("frameBytes"))
+      val src = byId(r.getLong(0))
+      assert(img.width == src.width && img.height == src.height)
+    }
 
     val resized = Multimodal.resize(dec, 32).collect()
     val images = resized.filter(_.kind == "image")

@@ -264,19 +264,24 @@ class SccSpec extends SparkTest {
     assert(out == Seq("accepted SCCs: 1", "SCC:", "0", "1", "4"), out.toString)
   }
 
-  test("release() returns cached storage blocks to baseline; assignedCount exact") {
-    def blocks = spark.sparkContext.getPersistentRDDs.size
+  test("release() drops every cached block the run created; assignedCount exact") {
+    // attribution by RDD id — a global block COUNT races Spark's
+    // ContextCleaner, which asynchronously unpersists unreferenced frames
+    // from earlier tests in the shared session
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 3L))
     val verts = 0L to 4L
-    val base = blocks
+    val before = ids.toSet
     val run = Scc.components(spark, edgesDf(edges), vertsDf(verts),
       localSolveEdgeThreshold = 0) // distributed path = maximal arena usage
     // the tallied count equals the real union count without a prior scan
     assert(run.assignedCount == verts.size)
     assert(run.components.count() == run.assignedCount)
-    assert(blocks > base, "SccRun should hold cached fragment blocks before release")
+    val created = ids.toSet -- before
+    assert(created.nonEmpty, "SccRun should hold cached fragment blocks before release")
     run.release()
-    assert(blocks == base, s"blocks after release: $blocks vs baseline $base")
+    val leaked = created.intersect(ids.toSet)
+    assert(leaked.isEmpty, s"blocks remaining after release: $leaked")
   }
 
   test("kill-between-rounds resume: snapshot manifest restores the outer loop") {
