@@ -52,7 +52,8 @@ object Bench {
       // already knows (measured ~14% of the round-2 convergence wall);
       // release() returns the cache to baseline between legs.
       val sccSec = timed {
-        Scc.components(spark, edges, vertices).release()
+        // GraphGen guarantees closed edge sets (endpoints < numVertices)
+        Scc.components(spark, edges, vertices, edgesWithinVertices = true).release()
       }._2
       val prSec =
         if (sccOnly) 0.0

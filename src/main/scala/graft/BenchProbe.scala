@@ -55,7 +55,8 @@ object BenchProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"PR cores=$cores cycles=$numCycles edges=$m rows=$cnt sec=$sec%.1f iters_per_sec=${10 / sec}%.3f")
     } else {
-      val run2 = Scc.components(spark, edges, GraphGen.vertices(spark, spec))
+      val run2 = Scc.components(spark, edges, GraphGen.vertices(spark, spec),
+        edgesWithinVertices = true)
       val comp = run2.components
       val metrics = run2.metrics
       val cnt = comp.count()

@@ -152,6 +152,7 @@ object Scc {
     var sweep = 0
     var capped = false
     while (deadCnt > 0 && sweep < maxSweeps && !capped) {
+      graft.Log.v(s"trim sweep $sweep: dead=$deadCnt remaining=$remaining")
       if (remaining > 1000000L && deadCnt * 1000L < remaining) {
         capped = true
       } else {
@@ -305,7 +306,8 @@ object Scc {
       localSolveEdgeThreshold: Long = 250000,
       hubDegreeThreshold: Long = 2000000,
       hopsPerStep: Int = 1,
-      snapshotDir: Option[String] = None): SccRun = {
+      snapshotDir: Option[String] = None,
+      edgesWithinVertices: Boolean = false): SccRun = {
     require(hopsPerStep >= 1)
     import spark.implicits._
     val arena = new CheckpointArena
@@ -317,14 +319,25 @@ object Scc {
     // the edge table every superstep — with the partitioning-preserving
     // checkpoint (GraftShims) the per-step shuffle is O(frontier), not
     // O(edges + state).
-    val eClean = edges.select("src", "dst").distinct()
-      .join(verts.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-      .join(verts.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      .filter(col("src") =!= col("dst"))
-    val eBySrc = eClean.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val eByDst = eClean.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    val numEdges = eBySrc.count(); eByDst.count()
-    graft.Log.v(s"scc: edges materialized")
+    // Build cost is kept at TWO edge exchanges: the dedup folds into the
+    // src-repartition (hash(src) co-locates equal (src,dst) pairs, so the
+    // distinct aggregation adds no exchange), the defensive endpoint
+    // semi-joins are skipped when the caller guarantees closure
+    // (`edgesWithinVertices` — generated graphs, `% m n` files whose ids
+    // are dense by format), and the dst copy re-shuffles the CACHED src
+    // copy instead of recomputing the cleaning pipeline.
+    val base = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+    val eClean =
+      if (edgesWithinVertices) base
+      else base
+        .join(verts.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(verts.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    val eBySrc = eClean.repartition(col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numEdges = eBySrc.count()
+    val eByDst = eBySrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    eByDst.count()
+    graft.Log.v(s"scc: edges materialized ($numEdges)")
 
     // Finished (id, comp) fragments; each is independently materialized (or
     // a lazy filter over a materialized backing frame), the final answer is
@@ -367,6 +380,10 @@ object Scc {
     // carries 80-95% of all BFS work. Trims/relabel preserve the property
     // (one group maps to one group); WCC refinement and recolor clear it.
     var singlePivot = false
+    // the single pivot's id when known driver-side (round-0 election) —
+    // lets the single-pivot BFS drop the constant pivot column from its
+    // iterated state entirely; -1 when unknown (e.g. post-trim relabel)
+    var singlePivotId = -1L
     // live-subgraph edge count at the round-0 seed (from the trim-fixpoint
     // degree counters; -1 = unknown)
     var liveEdges0 = -1L
@@ -449,6 +466,7 @@ object Scc {
           liveCount = lc._2
           liveIdPart = true // degs is id-joined throughout trimFixpoint
           singlePivot = true
+          singlePivotId = pivot0
         } else {
           live = arena.fresh(verts.select(col("id"), col("id").as("pivot")).limit(0))
           liveCount = 0L
@@ -702,9 +720,21 @@ object Scc {
         // cache residency, and allocation rate — the measured per-step
         // cost drivers — all drop ~2×. Convergence rides the same
         // accumulator via a bit mask (changedMask below).
-        val bfs0 = seeded
-          .withColumn("st",
-            when(col("id") === col("pivot"), lit(15)).otherwise(lit(0)))
+        // Slim single-pivot state: with exactly one pivot (known driver-
+        // side) and no trim this round, the pivot column is the same value
+        // on every row — drop it from the iterated state ((id, st): 2
+        // UnsafeRow slots instead of 3) and re-attach it as a literal at
+        // recolor. ~30% less checkpoint copy/allocation/cache in the round
+        // that carries 80-95% of BFS work.
+        val slim = singlePivot && trimmedTotal == 0 && pairTrimmed == 0 &&
+          singlePivotId >= 0
+        val bfs0 =
+          if (slim)
+            seeded.select(col("id"),
+              when(col("id") === lit(singlePivotId), lit(15)).otherwise(lit(0)).as("st"))
+          else seeded
+            .withColumn("st",
+              when(col("id") === col("pivot"), lit(15)).otherwise(lit(0)))
         val harness = new Superstep(spark, s"scc_bfs_$round", snapshotDir, arena = arena)
         // One BFS hop: expand the fwNew/bwNew frontier by one edge step.
         // The superstep runs `hopsPerStep` hops per driver action — the
@@ -740,13 +770,17 @@ object Scc {
               else Seq(col("_eTo").as("id"), col("pivot"), lit(fwd).as("_fwd"))
             frontier.join(e, col("id") === col("_eFrom")).select(cols: _*)
           }
+          // single-pivot frontiers don't need the pivot column at all (the
+          // hit is membership); in slim mode the state doesn't carry it
+          val fCols: Seq[Column] =
+            if (singlePivot) Seq(col("id")) else Seq(col("id"), col("pivot"))
           val hits = hitRows(
             st.filter(col("st").bitwiseAND(lit(4)) =!= lit(0))
-              .select(col("id"), col("pivot")),
+              .select(fCols: _*),
             eBySrc, "src", "dst", fwd = true)
             .unionByName(hitRows(
               st.filter(col("st").bitwiseAND(lit(8)) =!= lit(0))
-                .select(col("id"), col("pivot")),
+                .select(fCols: _*),
               eByDst, "dst", "src", fwd = false))
           val oldFw = col("st").bitwiseAND(lit(1)) =!= lit(0)
           val oldBw = col("st").bitwiseAND(lit(2)) =!= lit(0)
@@ -762,10 +796,12 @@ object Scc {
             // partial aggregation state per key is two booleans.
             val hitAgg = hits.groupBy("id").agg(
               max(col("_fwd")).as("hitF"), max(!col("_fwd")).as("hitB"))
+            val outCols: Seq[Column] =
+              if (slim) Seq(col("id")) else Seq(col("id"), col("pivot"))
             st.join(hitAgg, Seq("id"), "left")
-              .select(col("id"), col("pivot"),
+              .select(outCols :+
                 pack(coalesce(col("hitF"), lit(false)),
-                  coalesce(col("hitB"), lit(false))))
+                  coalesce(col("hitB"), lit(false))): _*)
           } else {
             val pivotSets =
               if (useSalting)
@@ -786,7 +822,9 @@ object Scc {
         } { _ => 0L }
         arena.release(live)
         bfsSteps = bfsMetrics.size
-        val reached = reachedSt.select(col("id"), col("pivot"),
+        val reached = reachedSt.select(
+          col("id"),
+          (if (slim) lit(singlePivotId) else col("pivot")).as("pivot"),
           (col("st").bitwiseAND(lit(1)) =!= lit(0)).as("fw"),
           (col("st").bitwiseAND(lit(2)) =!= lit(0)).as("bw"))
 

@@ -130,4 +130,18 @@ class PlanSpec extends SparkTest {
     } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     arena.closeExcept()
   }
+
+  test("distinct after repartition(src) adds no second exchange (subset clustering)") {
+    // HashPartitioning(src) satisfies ClusteredDistribution(src, dst) — all
+    // duplicates of an (src, dst) pair share hash(src) — so the dedup
+    // aggregation runs in place. Scc.components' edge build depends on this
+    // (one exchange for the deduped src-partitioned edge copy, not two).
+    val e = edgesDf((0L until 2000L).map(i => (i % 50, i % 97)))
+    val df = e.repartition(col("src")).distinct()
+    df.collect()
+    val plan = planOf(df)
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1, s"$exchanges exchanges in final plan:\n${finalSection.take(3000)}")
+  }
 }
