@@ -288,6 +288,29 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- catalog: snapshot commit + manifest-pruned scan through the
+    // Iceberg-style TableCatalog. The table is rebuilt from scratch each
+    // call (deterministic snap-0), scanned with metadata-side partition
+    // pruning to two of four languages; the oracle reads the SAME
+    // snapshot's data files directly (hive-partitioned glob) — verifying
+    // that the catalog's manifest-driven read returns exactly the
+    // committed rows, sha invariant included.
+    "q_catalog_scan" -> ((s, _) => {
+      val spec = GraphSpec(numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L)
+      val dir = java.nio.file.Paths.get(Verify.auxCatalogTablePath)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      graft.sources.TableCatalog.commitOverwrite(s, Verify.auxCatalogTablePath,
+        CodeTable.generate(s, spec))
+      graft.sources.TableCatalog.scan(s, Verify.auxCatalogTablePath,
+        langs = Some(Seq("c", "py")))
+        .select(col("fileId").as("file_id"), col("lang"), col("sha"))
+        .orderBy("file_id")
+    }),
+
     // Seeded label propagation over the import-edge graph: every 10th file
     // carries its language as a clamped seed label; 3 synchronous
     // majority-of-in-neighbors rounds (min-label tie-break) spread it along
@@ -344,6 +367,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank_topk" -> pagerankSql(20),
+
+    // Catalog hand-off: q_catalog_scan commits snap-0 at a fixed path and
+    // reads it back through the manifest; the oracle reads the same
+    // snapshot's data files via a hive-partitioned glob restricted to the
+    // pruned languages — the catalog read must return exactly the
+    // committed rows.
+    "q_catalog_scan" ->
+      s"""SELECT fileId AS file_id, lang, sha
+        |FROM read_parquet('${Verify.auxCatalogTablePath}/data/snap-0/lang=*/*.parquet',
+        |                  hive_partitioning = true)
+        |WHERE lang IN ('c', 'py')
+        |ORDER BY file_id""".stripMargin,
 
     // Signature hand-off (Verify.auxSimhashSigsPath): brute-force hamming
     // over the dumped per-document signatures. The query's 7-chunk

@@ -22,6 +22,11 @@ object Verify {
   val auxAnnCandidatesPath = "/root/repo/target/verify_aux/ann_candidates.parquet"
   val auxFingerprintsPath = "/root/repo/target/verify_aux/text_fingerprints.parquet"
 
+  /** TableCatalog table written by q_catalog_scan itself (rebuilt fresh per
+    * call → snap-0 deterministic); the oracle reads the same snapshot's
+    * data files directly. */
+  val auxCatalogTablePath = "/root/repo/target/verify_aux/catalog_table"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
