@@ -97,9 +97,9 @@ object Scc {
     * in/out-degrees are aggregated ONCE from the edge table; each sweep
     * removes the dead vertices (in- or out-degree 0 ⇒ singleton SCC) and
     * only decrements the counters of their neighbors — O(removed·degree)
-    * shuffle per sweep instead of a full edges⨝live re-join. Two Spark
-    * actions per sweep (removed-set materialization + counter update whose
-    * dead-count rides the checkpoint accumulator).
+    * shuffle per sweep instead of a full edges⨝live re-join. ONE Spark
+    * action per sweep (the counter update, whose dead-count rides the
+    * checkpoint accumulator; the removed set is a lazy filter).
     *
     * `verts` needs `id`; extra columns (e.g. `pivot`) ride along unchanged.
     * `edgesBySrc`/`edgesByDst` are the same edge rows (pass differently
