@@ -816,46 +816,94 @@ object Scc {
                   coalesce(array_contains(col("bwPs"), col("pivot")), lit(false))))
           }
         }
+        // In slim mode, rows that SETTLED (both waves arrived, nothing new:
+        // st == 3 exactly) leave the iterated state before the next hop —
+        // the per-step scan/rewrite then tracks the wave BOUNDARY, not the
+        // whole component (the reference's kernels likewise skip visited
+        // vertices; on the giant-SCC round most members settle mid-wave and
+        // the tail steps stop re-copying them). Correct because state rows
+        // influence each other only through frontier expansion, which
+        // requires a new-flag bit settled rows by definition lack; a row
+        // settles only AFTER its one expansion as frontier (new flags set
+        // at discovery, cleared the following step). Membership is
+        // reconstructed after convergence as live − still-unsettled.
+        val stepOnce: DataFrame => DataFrame =
+          if (slim) st => hop(st.filter(col("st") =!= 3)) else hop
         val (reachedSt, bfsMetrics) = harness.run(
           bfs0, Int.MaxValue, changedCol = Some("st"), changedMask = Some(12)) { (st, _) =>
-          (1 until hopsPerStep).foldLeft(hop(st))((s, _) => hop(s))
+          (1 until hopsPerStep).foldLeft(stepOnce(st))((s, _) => hop(s))
         } { _ => 0L }
-        arena.release(live)
         bfsSteps = bfsMetrics.size
-        val reached = reachedSt.select(
-          col("id"),
-          (if (slim) lit(singlePivotId) else col("pivot")).as("pivot"),
-          (col("st").bitwiseAND(lit(1)) =!= lit(0)).as("fw"),
-          (col("st").bitwiseAND(lit(2)) =!= lit(0)).as("bw"))
 
-        // ---- update/recolor (main.cpp:105-163): 4-way split per pivot by
-        // (fw,bw); fw AND bw = the pivot's SCC, done; the rest re-pivot to
-        // the min id of their color group and loop. ONE flagged checkpoint
-        // serves both the done-fragment (a lazy filter over it) and the
-        // done-count; only the new live state is re-materialized.
-        val groups = reached.groupBy("pivot", "fw", "bw").agg(min("id").as("newPivot"))
-        val (recolored, _, doneCnt) = arena.freshFlagged(
-          reached.join(groups, Seq("pivot", "fw", "bw"))
-            .withColumn("done", col("fw") && col("bw")),
-          "done")
-        arena.release(reachedSt)
-        sccRows = doneCnt
-        assigned += doneCnt
-        if (doneCnt > 0) {
-          partBacking += recolored
-          // comp label = newPivot = min(id) over the done color group = the
-          // SCC's min member: canonical REGARDLESS of which live member
-          // seeded the reach (lets round 0 keep its degree-product pivot).
-          assignedParts += recolored.filter(col("done"))
-            .select(col("id"), col("newPivot").as("comp"))
+        if (slim) {
+          // Final state: st ∈ {0,1,2} = non-members (never both-reached),
+          // st == 3 = members settled in the last steps (not yet dropped);
+          // everything dropped earlier is a member too.
+          val (nonMembers, nmCnt) = arena.freshCounted(
+            reachedSt.filter(col("st").bitwiseAND(lit(3)) =!= lit(3))
+              .select(col("id"), col("st")))
+          arena.release(reachedSt)
+          val memberCnt = liveCount - nmCnt
+          // canonical comp = min member id: one agg over the lazy
+          // anti-join (live is cached; nonMembers is the small side)
+          val memberIds = live.select("id")
+            .join(nonMembers.select("id"), Seq("id"), "left_anti")
+          val minId = memberIds.agg(min("id")).head().getLong(0)
+          partBacking += live // backs the lazy members fragment
+          assignedParts += memberIds.select(col("id"), lit(minId).as("comp"))
+          sccRows = memberCnt
+          assigned += memberCnt
+          // recolor the non-members (no done rows among them by
+          // construction): min-id pivot per (fw, bw) group, as ever
+          val reachedNm = nonMembers.select(col("id"),
+            (col("st").bitwiseAND(lit(1)) =!= lit(0)).as("fw"),
+            (col("st").bitwiseAND(lit(2)) =!= lit(0)).as("bw"))
+          val groupsNm = reachedNm.groupBy("fw", "bw").agg(min("id").as("newPivot"))
+          val (nl, nlCnt) = arena.freshCounted(
+            reachedNm.join(groupsNm, Seq("fw", "bw"))
+              .select(col("id"), col("newPivot").as("pivot")))
+          // nonMembers backs the lazy members anti-join — retained
+          partBacking += nonMembers
+          live = nl
+          liveCount = nlCnt
+        } else {
+          arena.release(live)
+          val reached = reachedSt.select(
+            col("id"), col("pivot"),
+            (col("st").bitwiseAND(lit(1)) =!= lit(0)).as("fw"),
+            (col("st").bitwiseAND(lit(2)) =!= lit(0)).as("bw"))
+
+          // ---- update/recolor (main.cpp:105-163): 4-way split per pivot
+          // by (fw,bw); fw AND bw = the pivot's SCC, done; the rest
+          // re-pivot to the min id of their color group and loop. ONE
+          // flagged checkpoint serves both the done-fragment (a lazy
+          // filter over it) and the done-count; only the new live state is
+          // re-materialized.
+          val groups = reached.groupBy("pivot", "fw", "bw").agg(min("id").as("newPivot"))
+          val (recolored, _, doneCnt) = arena.freshFlagged(
+            reached.join(groups, Seq("pivot", "fw", "bw"))
+              .withColumn("done", col("fw") && col("bw")),
+            "done")
+          arena.release(reachedSt)
+          sccRows = doneCnt
+          assigned += doneCnt
+          if (doneCnt > 0) {
+            partBacking += recolored
+            // comp label = newPivot = min(id) over the done color group =
+            // the SCC's min member: canonical REGARDLESS of which live
+            // member seeded the reach (lets round 0 keep its
+            // degree-product pivot).
+            assignedParts += recolored.filter(col("done"))
+              .select(col("id"), col("newPivot").as("comp"))
+          }
+          val (nl, nlCnt) = arena.freshCounted(
+            recolored.filter(!col("done"))
+              .select(col("id"), col("newPivot").as("pivot")))
+          if (doneCnt == 0) arena.release(recolored)
+          live = nl
+          liveCount = nlCnt
         }
-        val (nl, nlCnt) = arena.freshCounted(
-          recolored.filter(!col("done"))
-            .select(col("id"), col("newPivot").as("pivot")))
-        if (doneCnt == 0) arena.release(recolored)
-        live = nl
-        liveCount = nlCnt
-        liveIdPart = false // recolor join leaves (pivot,fw,bw) partitioning
+        liveIdPart = false // recolor join leaves non-id partitioning
         singlePivot = false
       }
       if (le != null) arena.release(le)
