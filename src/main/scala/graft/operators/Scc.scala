@@ -116,12 +116,15 @@ object Scc {
     * was this loop — 29% of wall, mostly tail sweeps removing a trickle):
     * each sweep costs a full edge-table pass + an O(remaining) state
     * rewrite regardless of how little it removes, so once a sweep would
-    * remove < 0.1% of the remaining vertices the loop stops and leaves the
+    * remove < `capFraction` (default 0.1%) of the remaining vertices the
+    * loop stops and leaves the
     * stragglers flagged-but-live — trim is an accelerator, not a
     * correctness requirement; FW-BW classifies the leftovers as trivial
     * SCCs in later rounds at O(leftover) cost (in practice the post-giant
-    * local-solve mop-up). Only active above 1M remaining vertices so small
-    * graphs and every fixture test still reach the exact fixpoint.
+    * local-solve mop-up). Only active above `capMinRemaining` (default 1M)
+    * remaining vertices so small graphs and every fixture test still reach
+    * the exact fixpoint; the knobs exist so the cap path itself is
+    * unit-testable at fixture size.
     *
     * Returns (survivors frame — arena-owned, schema = verts ++ oc/ic/dead —
     * remaining row count, removed total, sweeps run, done). `done` = the
@@ -135,7 +138,9 @@ object Scc {
       verts: DataFrame,
       maxSweeps: Int,
       assignedParts: mutable.ArrayBuffer[DataFrame],
-      partBacking: mutable.ArrayBuffer[DataFrame]): (DataFrame, Long, Long, Int, Boolean) = {
+      partBacking: mutable.ArrayBuffer[DataFrame],
+      capFraction: Double,
+      capMinRemaining: Long): (DataFrame, Long, Long, Int, Boolean) = {
     val carry = verts.columns.filter(_ != "id").toSeq
     def proj(oc: Column, ic: Column): Seq[Column] =
       (col("id") +: carry.map(col)) ++ Seq(oc.as("oc"), ic.as("ic"))
@@ -153,7 +158,7 @@ object Scc {
     var capped = false
     while (deadCnt > 0 && sweep < maxSweeps && !capped) {
       graft.Log.v(s"trim sweep $sweep: dead=$deadCnt remaining=$remaining")
-      if (remaining > 1000000L && deadCnt * 1000L < remaining) {
+      if (remaining > capMinRemaining && deadCnt < remaining * capFraction) {
         capped = true
       } else {
       // removed rides the already-materialized degs frame: a lazy filter
@@ -307,7 +312,9 @@ object Scc {
       hubDegreeThreshold: Long = 2000000,
       hopsPerStep: Int = 1,
       snapshotDir: Option[String] = None,
-      edgesWithinVertices: Boolean = false): SccRun = {
+      edgesWithinVertices: Boolean = false,
+      trimCapFraction: Double = 0.001,
+      trimCapMinRemaining: Long = 1000000L): SccRun = {
     require(hopsPerStep >= 1)
     import spark.implicits._
     val arena = new CheckpointArena
@@ -423,7 +430,8 @@ object Scc {
         // aggregations reuse the two persisted edge partitionings (both
         // exchange-free).
         val (degs, _, preTrimmed, preSweeps, preDone) = trimFixpoint(
-          arena, eBySrc, eByDst, verts, maxTrimSweeps, assignedParts, partBacking)
+          arena, eBySrc, eByDst, verts, maxTrimSweeps, assignedParts, partBacking,
+          trimCapFraction, trimCapMinRemaining)
         preTrimDone = preDone
         assigned += preTrimmed
         graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweeps sweeps" +
@@ -621,7 +629,8 @@ object Scc {
         // trickle the cap deliberately left to later rounds.
         if (round > 0 || !preTrimDone) {
           val (degsR, remaining, trimmed, _, _) = trimFixpoint(
-            arena, leLive, leLive, live, maxTrimSweeps, assignedParts, partBacking)
+            arena, leLive, leLive, live, maxTrimSweeps, assignedParts, partBacking,
+            trimCapFraction, trimCapMinRemaining)
           trimmedTotal = trimmed
           assigned += trimmed
           if (trimmed > 0) {

@@ -264,6 +264,28 @@ class SccSpec extends SparkTest {
     assert(out == Seq("accepted SCCs: 1", "SCC:", "0", "1", "4"), out.toString)
   }
 
+  test("adaptive trim cap: stragglers left untrimmed are still classified exactly") {
+    // 6-cycle + two pendant sources feeding it. With capFraction=0.9 and
+    // no size floor, the pre-trim caps IMMEDIATELY (2 dead of 8 < 0.9·8),
+    // so the pendants ride into the BFS flagged-but-live: round 0 extracts
+    // the cycle (slim single-pivot path), the recolored pendant remainder
+    // is finished by the round-1 trim (2 dead of 2 ≥ 0.9·2 → cap inactive).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (6L, 0L), (7L, 3L))
+    val verts = 0L to 7L
+    val expected = Oracle.tarjan(verts, edges)
+    val run = Scc.components(spark, edgesDf(edges), vertsDf(verts),
+      localSolveEdgeThreshold = 0,
+      trimCapFraction = 0.9, trimCapMinRemaining = 0L)
+    assert(run.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == expected)
+    // the cap really did defer the pendants out of the pre-trim: nothing
+    // was trimmed before round 0, and a later round removed them
+    assert(run.metrics.head.trimmed == 0, run.metrics.toString)
+    assert(run.metrics.exists(m => m.round > 0 && m.trimmed == 2), run.metrics.toString)
+    run.release()
+  }
+
   test("release() drops every cached block the run created; assignedCount exact") {
     // attribution by RDD id — a global block COUNT races Spark's
     // ContextCleaner, which asynchronously unpersists unreferenced frames
