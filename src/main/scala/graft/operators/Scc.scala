@@ -836,8 +836,10 @@ object Scc {
         // settles only AFTER its one expansion as frontier (new flags set
         // at discovery, cleared the following step). Membership is
         // reconstructed after convergence as live − still-unsettled.
+        // (the settlement argument is pivot-independent, so BOTH paths
+        // retire: a settled row is fully classified within its partition)
         val stepOnce: DataFrame => DataFrame =
-          if (slim) st => hop(st.filter(col("st") =!= 3)) else hop
+          st => hop(st.filter(col("st") =!= 3))
         val (reachedSt, bfsMetrics) = harness.run(
           bfs0, Int.MaxValue, changedCol = Some("st"), changedMask = Some(12)) { (st, _) =>
           (1 until hopsPerStep).foldLeft(stepOnce(st))((s, _) => hop(s))
@@ -876,39 +878,40 @@ object Scc {
           live = nl
           liveCount = nlCnt
         } else {
+          // ---- multi-pivot retirement + recolor (main.cpp:105-163): the
+          // settled (= done) rows left the iterated state per step, so the
+          // done fragment reconstructs as live − still-unsettled, labeled
+          // min member id per pivot group. Grouping by live's PRE-relabel
+          // pivot is equivalent: the relabel/WCC maps are 1:1 on groups,
+          // and the canonical min-member label is label-independent.
+          val (nonMembers, nmCnt) = arena.freshCounted(
+            reachedSt.filter(col("st").bitwiseAND(lit(3)) =!= lit(3))
+              .select(col("id"), col("pivot"), col("st")))
+          arena.release(reachedSt)
+          val memberCnt = liveCount - nmCnt
+          if (memberCnt > 0) {
+            val members = live.select("id", "pivot")
+              .join(nonMembers.select("id"), Seq("id"), "left_anti")
+            val minPerPivot = members.groupBy("pivot").agg(min("id").as("comp"))
+            val (frag, fragCnt) = arena.freshCounted(
+              members.join(minPerPivot, Seq("pivot")).select("id", "comp"))
+            require(fragCnt == memberCnt,
+              s"done-fragment rows $fragCnt != settled tally $memberCnt")
+            assignedParts += frag
+            sccRows = memberCnt
+            assigned += memberCnt
+          }
           arena.release(live)
-          val reached = reachedSt.select(
-            col("id"), col("pivot"),
+          // recolor the non-members: 4-way split per pivot by (fw, bw)
+          // (no done rows among them by construction), min-id pivots
+          val reachedNm = nonMembers.select(col("id"), col("pivot"),
             (col("st").bitwiseAND(lit(1)) =!= lit(0)).as("fw"),
             (col("st").bitwiseAND(lit(2)) =!= lit(0)).as("bw"))
-
-          // ---- update/recolor (main.cpp:105-163): 4-way split per pivot
-          // by (fw,bw); fw AND bw = the pivot's SCC, done; the rest
-          // re-pivot to the min id of their color group and loop. ONE
-          // flagged checkpoint serves both the done-fragment (a lazy
-          // filter over it) and the done-count; only the new live state is
-          // re-materialized.
-          val groups = reached.groupBy("pivot", "fw", "bw").agg(min("id").as("newPivot"))
-          val (recolored, _, doneCnt) = arena.freshFlagged(
-            reached.join(groups, Seq("pivot", "fw", "bw"))
-              .withColumn("done", col("fw") && col("bw")),
-            "done")
-          arena.release(reachedSt)
-          sccRows = doneCnt
-          assigned += doneCnt
-          if (doneCnt > 0) {
-            partBacking += recolored
-            // comp label = newPivot = min(id) over the done color group =
-            // the SCC's min member: canonical REGARDLESS of which live
-            // member seeded the reach (lets round 0 keep its
-            // degree-product pivot).
-            assignedParts += recolored.filter(col("done"))
-              .select(col("id"), col("newPivot").as("comp"))
-          }
+          val groups = reachedNm.groupBy("pivot", "fw", "bw").agg(min("id").as("newPivot"))
           val (nl, nlCnt) = arena.freshCounted(
-            recolored.filter(!col("done"))
+            reachedNm.join(groups, Seq("pivot", "fw", "bw"))
               .select(col("id"), col("newPivot").as("pivot")))
-          if (doneCnt == 0) arena.release(recolored)
+          arena.release(nonMembers)
           live = nl
           liveCount = nlCnt
         }
