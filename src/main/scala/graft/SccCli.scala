@@ -23,7 +23,10 @@ object SccCli {
   def run(spark: org.apache.spark.sql.SparkSession, path: String,
       mode: Scc.SccMode): Seq[String] = {
     val g = GraphFile.read(spark, path)
-    val acc = Scc.accepted(spark, g.edges, g.vertices, mode)
+    // the `% m n` header declares the dense vertex range; the reference's
+    // loader trusts it the same way (no bounds checks, file2graph.cpp)
+    val acc = Scc.accepted(spark, g.edges, g.vertices, mode,
+      edgesWithinVertices = true)
     val nAccepted = Scc.countAccepted(acc)
     if (nAccepted == 0) Seq("No SCCs found")
     else {

@@ -949,15 +949,21 @@ object Scc {
 
   /** The reference's full query (SURVEY.md §1.1): which SCCs are *accepted*
     * given subset U. Returns (id, comp, accepted). `vertices` must carry
-    * (id, isU).
+    * (id, isU). `edgesWithinVertices` as in [[components]] (the `% m n`
+    * file format implies it — the reference's loader indexes arrays by
+    * edge endpoint without bounds checks, so trusting the header matches
+    * reference behavior; InducedU re-derives its own closed subset and
+    * ignores the flag).
     */
   def accepted(
       spark: SparkSession,
       edges: DataFrame,
       vertices: DataFrame,
-      mode: SccMode = FullGraph): DataFrame = {
+      mode: SccMode = FullGraph,
+      edgesWithinVertices: Boolean = false): DataFrame = {
     val run = mode match {
-      case FullGraph => components(spark, edges, vertices.select("id"))
+      case FullGraph => components(spark, edges, vertices.select("id"),
+        edgesWithinVertices = edgesWithinVertices)
       case InducedU =>
         val uVerts = vertices.filter(col("isU")).select("id")
         val uEdges = edges
