@@ -268,6 +268,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
         .orderBy("bucket", "event_type")),
 
+    // ---- events: as-of join — each purchase matched to the user's latest
+    // view at-or-before it ((ts, event_id) order; union+window plan, one
+    // shuffle — see functions.AsOf) ----
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.functions.AsOf.lastBefore(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_id").as("view_event_id"), col("value").as("view_value")),
+        keys = Seq("user_id"), tsCol = "ts", seqCol = "event_id",
+        payload = Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          round(coalesce(col("view_value"), lit(0.0)), 4).as("view_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- events: gap sessionization (batch form) ----
     "q_sessionize" -> ((s, d) =>
       EventStream.sessionizeBatch(t(s, d, "events"), gapMs = 10 * 60 * 1000)
@@ -733,6 +752,24 @@ object SparkEntry {
       """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS v_id, CAST(NULL AS DOUBLE) AS v_val
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, event_id, value
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    last_value(v_id IGNORE NULLS) OVER win AS m_id,
+        |    last_value(v_val IGNORE NULLS) OVER win AS m_val
+        |  FROM u WINDOW win AS (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, coalesce(m_id, -1) AS view_event_id,
+        |  round(coalesce(m_val, 0.0), 4) AS view_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (

@@ -374,6 +374,29 @@ class MultimodalSpec extends SparkTest {
   }
 }
 
+class AsOfSpec extends SparkTest {
+  test("lastBefore: inclusive as-of semantics, ties by seq, no-match nulls") {
+    val s = spark; import s.implicits._
+    val left = Seq((10L, 1L, 5L), (11L, 1L, 2L), (12L, 2L, 7L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, 3L, 100.0), (2L, 1L, 5L, 200.0),
+      (3L, 2L, 9L, 300.0), (4L, 2L, 7L, 400.0))
+      .toDF("rid", "user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("rid").as("event_id"),
+        col("rid").as("r_id"), col("value"))
+    val got = graft.functions.AsOf.lastBefore(left, right,
+      keys = Seq("user_id"), tsCol = "ts", seqCol = "event_id",
+      payload = Seq("r_id", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(got == Map(
+      10L -> Some((2L, 200.0)), // right (ts=5, seq=2) <= left (ts=5, seq=10): inclusive
+      11L -> None,              // earliest right for user 1 is ts=3 > 2
+      12L -> Some((4L, 400.0))  // (ts=7, seq=4) <= (ts=7, seq=12); ts=9 excluded
+    ))
+  }
+}
+
 class SuperstepResumeSpec extends SparkTest {
   test("resume restarts from the last snapshot and converges identically") {
     val s = spark; import s.implicits._
