@@ -342,8 +342,9 @@ object Scc {
     val eBySrc = eClean.repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val numEdges = eBySrc.count()
+    // no eager count: the dst copy's cache fills on its first consumer
+    // (the pre-trim's in-degree aggregation) — same work, one less job
     val eByDst = eBySrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    eByDst.count()
     graft.Log.v(s"scc: edges materialized ($numEdges)")
 
     // Finished (id, comp) fragments; each is independently materialized (or
@@ -429,7 +430,7 @@ object Scc {
         // shrinks the first FW-BW round. The two initial degree
         // aggregations reuse the two persisted edge partitionings (both
         // exchange-free).
-        val (degs, _, preTrimmed, preSweeps, preDone) = trimFixpoint(
+        val (degs, preRemaining, preTrimmed, preSweeps, preDone) = trimFixpoint(
           arena, eBySrc, eByDst, verts, maxTrimSweeps, assignedParts, partBacking,
           trimCapFraction, trimCapMinRemaining)
         preTrimDone = preDone
@@ -468,18 +469,32 @@ object Scc {
           liveEdges0 = if (pivotRow.isNullAt(1)) 0L else pivotRow.getLong(1)
           liveMaxDegs = Some((pivotRow.getLong(2), pivotRow.getLong(3)))
           graft.Log.v(s"scc: round-0 pivot $pivot0 by degree product ($liveEdges0 live edges)")
-          val lc = arena.freshCounted(
-            degs.select(col("id"), lit(pivot0).as("pivot")))
-          live = lc._1
-          liveCount = lc._2
+          // Fast seed: when round 0 is certain to take the slim le-skip
+          // path (same predicate as skipLe below), nothing in that round
+          // reads a pivot column from the live frame — the trim survivors
+          // frame IS the round-0 live state (degree counters ride along
+          // unused), its row count is already known, and the O(V) seed
+          // re-materialization job disappears.
+          val fastSeed = preTrimDone && localSolveEdgeThreshold > 0 &&
+            liveEdges0 > localSolveEdgeThreshold
+          if (fastSeed) {
+            live = degs
+            liveCount = preRemaining
+          } else {
+            val lc = arena.freshCounted(
+              degs.select(col("id"), lit(pivot0).as("pivot")))
+            live = lc._1
+            liveCount = lc._2
+            arena.release(degs)
+          }
           liveIdPart = true // degs is id-joined throughout trimFixpoint
           singlePivot = true
           singlePivotId = pivot0
         } else {
           live = arena.fresh(verts.select(col("id"), col("id").as("pivot")).limit(0))
           liveCount = 0L
+          arena.release(degs)
         }
-        arena.release(degs)
     }
     // every vertex is now either in an assigned fragment or live
     expectedTotal = assigned + liveCount
@@ -521,15 +536,19 @@ object Scc {
       // double join + cache is dead weight.
       val skipLe = round == 0 && singlePivot && preTrimDone &&
         localSolveEdgeThreshold > 0 && liveEdges0 > localSolveEdgeThreshold
-      val lp = live.select(col("id"), col("pivot"))
       var (le, leCnt) =
         if (skipLe) (null: DataFrame, liveEdges0)
-        else arena.freshCounted(
-          eBySrc
-            .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
-            .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
-            .filter(col("srcP") === col("dstP"))
-            .select(col("srcP").as("pivot"), col("src"), col("dst")))
+        else {
+          // (constructed only here: a fast-seeded live frame carries no
+          // pivot column, and fast-seed implies skipLe)
+          val lp = live.select(col("id"), col("pivot"))
+          arena.freshCounted(
+            eBySrc
+              .join(lp.withColumnRenamed("id", "src").withColumnRenamed("pivot", "srcP"), Seq("src"))
+              .join(lp.withColumnRenamed("id", "dst").withColumnRenamed("pivot", "dstP"), Seq("dst"))
+              .filter(col("srcP") === col("dstP"))
+              .select(col("srcP").as("pivot"), col("src"), col("dst")))
+        }
 
       // ---- deferred WCC partition refinement (rounds ≥ 1): a recolor can
       // leave one partition holding MANY weak components (all of "neither"
@@ -709,17 +728,6 @@ object Scc {
         // join output is pivot-partitioned: giant-component skew AND a
         // step-1 re-exchange; recolor output likewise) unless the live
         // frame is already known id-partitioned.
-        val seeded =
-          if (trimmedTotal == 0 && pairTrimmed == 0) {
-            val base = live.select("id", "pivot")
-            if (liveIdPart) base else base.repartition(col("id"))
-          } else {
-            val relabel = live.groupBy("pivot").agg(min("id").as("newP"))
-            live.select("id", "pivot")
-              .join(relabel, Seq("pivot"))
-              .select(col("id"), col("newP").as("pivot"))
-              .repartition(col("id"))
-          }
         // BFS state = (id, pivot, st) with the four reach flags bit-packed
         // into ONE IntegerType column (1=fw, 2=bw, 4=fwNew, 8=bwNew) — the
         // Spark analog of the reference's packed status byte
@@ -738,12 +746,28 @@ object Scc {
         val slim = singlePivot && trimmedTotal == 0 && pairTrimmed == 0 &&
           singlePivotId >= 0
         val bfs0 =
-          if (slim)
-            seeded.select(col("id"),
-              when(col("id") === lit(singlePivotId), lit(15)).otherwise(lit(0)).as("st"))
-          else seeded
-            .withColumn("st",
+          if (slim) {
+            // (the fast-seeded live frame may carry no pivot column — slim
+            // mode never reads one; the pivot is the driver-side literal)
+            val base = live.select("id")
+            (if (liveIdPart) base else base.repartition(col("id")))
+              .select(col("id"),
+                when(col("id") === lit(singlePivotId), lit(15)).otherwise(lit(0)).as("st"))
+          } else {
+            val seeded =
+              if (trimmedTotal == 0 && pairTrimmed == 0) {
+                val base = live.select("id", "pivot")
+                if (liveIdPart) base else base.repartition(col("id"))
+              } else {
+                val relabel = live.groupBy("pivot").agg(min("id").as("newP"))
+                live.select("id", "pivot")
+                  .join(relabel, Seq("pivot"))
+                  .select(col("id"), col("newP").as("pivot"))
+                  .repartition(col("id"))
+              }
+            seeded.withColumn("st",
               when(col("id") === col("pivot"), lit(15)).otherwise(lit(0)))
+          }
         val harness = new Superstep(spark, s"scc_bfs_$round", snapshotDir, arena = arena)
         // One BFS hop: expand the fwNew/bwNew frontier by one edge step.
         // The superstep runs `hopsPerStep` hops per driver action — the
