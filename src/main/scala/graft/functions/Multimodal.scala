@@ -184,14 +184,16 @@ object Multimodal {
     *
     * [[Video.frames]] holds frames as top-down RGB (the orientation every
     * other operator here uses); encode/decode do the BGR/flip/stride
-    * conversion. Compressed codecs (MJPG etc.) are intentionally out of
-    * scope — the container walk would accept them but the frame decode
-    * requires BI_RGB.
+    * conversion. MJPG (`biCompression = 'MJPG'`, per-frame JPEG) is also
+    * supported through the JDK's own javax.imageio — still zero external
+    * libraries; [[encodeMjpeg]] writes it, [[decode]] handles both. Other
+    * compressed codecs (H.264 etc.) are out of scope.
     */
   object Avi {
     final case class Video(width: Int, height: Int, fps: Int, frames: Vector[Array[Byte]])
 
     private def stride(w: Int): Int = (w * 3 + 3) & ~3
+    private val MJPG = 0x47504a4d // fourcc "MJPG", little-endian
 
     private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = payload.length & 1 // RIFF chunks are word-aligned
@@ -209,33 +211,44 @@ object Multimodal {
       out.array()
     }
 
-    def encode(v: Video): Array[Byte] = {
-      val w = v.width; val h = v.height; val st = stride(w)
+    /** Shared container assembly: headers parameterized by handler/
+      * compression, `movi` from the given per-frame chunk payloads. */
+    private def assemble(
+        w: Int, h: Int, fps: Int, handler: String, compression: Int,
+        bufSize: Int, frameChunks: Iterator[Array[Byte]], nFrames: Int): Array[Byte] = {
       val le = java.nio.ByteOrder.LITTLE_ENDIAN
       val avih = java.nio.ByteBuffer.allocate(56).order(le)
-      avih.putInt(1000000 / math.max(1, v.fps)) // µs per frame
-        .putInt(st * h * v.fps)                 // max bytes/sec
+      avih.putInt(1000000 / math.max(1, fps))   // µs per frame
+        .putInt(bufSize * fps)                  // max bytes/sec
         .putInt(0).putInt(0)
-        .putInt(v.frames.length)                // total frames
+        .putInt(nFrames)                        // total frames
         .putInt(0).putInt(1)                    // initial frames, streams
-        .putInt(st * h)                         // suggested buffer
+        .putInt(bufSize)                        // suggested buffer
         .putInt(w).putInt(h)
       val strh = java.nio.ByteBuffer.allocate(56).order(le)
-      strh.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      strh.put("vids".getBytes("US-ASCII")).put(handler.getBytes("US-ASCII"))
         .putInt(0).putShort(0).putShort(0).putInt(0)
-        .putInt(1).putInt(math.max(1, v.fps))   // scale, rate (fps = rate/scale)
-        .putInt(0).putInt(v.frames.length)      // start, length
-        .putInt(st * h).putInt(-1).putInt(0)    // bufSize, quality, sampleSize
+        .putInt(1).putInt(math.max(1, fps))     // scale, rate (fps = rate/scale)
+        .putInt(0).putInt(nFrames)              // start, length
+        .putInt(bufSize).putInt(-1).putInt(0)   // bufSize, quality, sampleSize
         .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
       val strf = java.nio.ByteBuffer.allocate(40).order(le)
       strf.putInt(40).putInt(w).putInt(h)       // biSize, biWidth, biHeight (+: bottom-up)
         .putShort(1).putShort(24)               // planes, bpp
-        .putInt(0)                              // BI_RGB
-        .putInt(st * h).putInt(0).putInt(0).putInt(0).putInt(0)
+        .putInt(compression)
+        .putInt(bufSize).putInt(0).putInt(0).putInt(0).putInt(0)
       val hdrl = list("LIST", "hdrl",
         chunk("avih", avih.array()) ++
           list("LIST", "strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
       val movi = list("LIST", "movi",
+        frameChunks.map(chunk("00dc", _))
+          .reduceOption(_ ++ _).getOrElse(Array.emptyByteArray))
+      list("RIFF", "AVI ", hdrl ++ movi)
+    }
+
+    def encode(v: Video): Array[Byte] = {
+      val w = v.width; val h = v.height; val st = stride(w)
+      assemble(w, h, v.fps, "DIB ", 0, st * h,
         v.frames.iterator.map { rgb =>
           require(rgb.length == w * h * 3, s"frame must be ${w * h * 3} bytes")
           val dib = new Array[Byte](st * h)
@@ -252,9 +265,35 @@ object Multimodal {
             }
             y += 1
           }
-          chunk("00db", dib)
-        }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray))
-      list("RIFF", "AVI ", hdrl ++ movi)
+          dib
+        }, v.frames.length)
+    }
+
+    /** MJPG variant: each frame JPEG-encoded via the JDK's javax.imageio
+      * (headless-safe, no external libraries). Lossy — round-trips to
+      * approximately the input pixels. */
+    def encodeMjpeg(v: Video): Array[Byte] = {
+      val w = v.width; val h = v.height
+      assemble(w, h, v.fps, "MJPG", MJPG, w * h * 3,
+        v.frames.iterator.map { rgb =>
+          require(rgb.length == w * h * 3, s"frame must be ${w * h * 3} bytes")
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              img.setRGB(x, y,
+                ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }, v.frames.length)
     }
 
     def decode(bytes: Array[Byte]): Video = {
@@ -285,9 +324,8 @@ object Multimodal {
               buf.getInt; buf.getInt; buf.getInt; buf.getShort
               bpp = buf.getShort
               compression = buf.getInt
-            case "00db" | "00dc" =>
-              require(compression == 0 && bpp == 24,
-                s"only uncompressed BGR24 frames supported (bpp=$bpp comp=$compression)")
+            case "00db" | "00dc" if compression == 0 =>
+              require(bpp == 24, s"only 24bpp BI_RGB frames supported (bpp=$bpp)")
               val st = stride(w)
               require(len >= st * h, s"short frame chunk: $len < ${st * h}")
               val dib = new Array[Byte](st * h)
@@ -307,6 +345,31 @@ object Multimodal {
                 y += 1
               }
               frames += rgb
+            case "00db" | "00dc" if compression == MJPG =>
+              val data = new Array[Byte](len)
+              buf.get(data)
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+              require(img != null, "undecodable MJPG frame")
+              require(img.getWidth == w && img.getHeight == h,
+                s"MJPG frame ${img.getWidth}x${img.getHeight} != header ${w}x$h")
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  val o = (y * w + x) * 3
+                  rgb(o) = ((p >> 16) & 0xff).toByte
+                  rgb(o + 1) = ((p >> 8) & 0xff).toByte
+                  rgb(o + 2) = (p & 0xff).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              frames += rgb
+            case "00db" | "00dc" =>
+              throw new IllegalArgumentException(
+                f"unsupported video codec: biCompression=0x$compression%08x (BI_RGB and MJPG supported)")
             case _ => // skip idx1, JUNK, strn, …
           }
           buf.position(next)

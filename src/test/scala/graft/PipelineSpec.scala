@@ -330,6 +330,30 @@ class MultimodalSpec extends SparkTest {
     assert(v2.frames.length == 5 && v2.frames.head.sameElements(frames.head))
   }
 
+  test("AVI MJPG: JDK-imageio frames decode to header dims, pixels close") {
+    val w = 32; val h = 24
+    // smooth gray gradient — JPEG-friendly, so the lossy round-trip error
+    // stays small and the assertion is meaningful
+    val frames = Vector.tabulate(3)(t =>
+      Array.tabulate(w * h * 3)(i => (((i / 3) / w + t * 40) % 200 + 20).toByte))
+    val bytes = Multimodal.Avi.encodeMjpeg(Multimodal.Avi.Video(w, h, 10, frames))
+    val v = Multimodal.Avi.decode(bytes)
+    assert(v.width == w && v.height == h && v.frames.length == 3)
+    val meanAbsErr = v.frames.zip(frames).map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)) }.sum.toDouble / a.length
+    }
+    assert(meanAbsErr.forall(_ < 8.0), meanAbsErr.toString)
+    // unknown codecs are rejected with a clear message, not garbage pixels
+    val bogus = bytes.clone()
+    // strf's biCompression sits 16 bytes into the strf payload; patch it
+    val strfAt = {
+      val s = new String(bogus, "US-ASCII"); s.indexOf("strf")
+    }
+    bogus(strfAt + 8 + 16) = 0x58 // 'X…' fourcc
+    val e = intercept[IllegalArgumentException](Multimodal.Avi.decode(bogus))
+    assert(e.getMessage.contains("unsupported video codec"))
+  }
+
   test("decode/features/frames/resize over mixed assets — all real codecs") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val dec = Multimodal.decode(assets)
