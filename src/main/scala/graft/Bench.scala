@@ -62,8 +62,22 @@ object Bench {
           PageRank.run(spark, edges, vertices, tol = 0.0, maxIter = 10).release()
         }._2
       edges.unpersist(false)
+      // Per-leg success assertion: a leg that silently did no work (zero
+      // edges, sub-resolution wall) must abort the bench rather than feed
+      // a bogus ratio — teardown noise below is swallowed, so this is the
+      // only place a broken leg can still be caught (BENCH_r03 stderr
+      // finding).
+      require(numEdges > 0 && sccSec > 0 && (sccOnly || prSec > 0),
+        s"bench leg failed sanity: edges=$numEdges scc=$sccSec pr=$prSec")
       (sccSec, prSec, numEdges)
     } finally {
+      // Interleaved legs stop and restart the context back-to-back; async
+      // callbacks still in flight when the pools close surface as
+      // RejectedExecutionException stack traces on stderr (BENCH_r03's
+      // captured tail) from threads whose work already completed. Silence
+      // log4j for the teardown window — a leg failure propagates as an
+      // exception from the timed region above, never via stderr.
+      try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => }
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -93,6 +107,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Route async-teardown stack traces (threads with no handler of their
+    // own, completing promises after a leg's pools shut down) to a log file
+    // instead of stderr: under sbt every stderr line renders as `[error]`,
+    // and BENCH_r03's tail carried one such trace mid-run. Real failures
+    // don't pass here — they propagate as exceptions from the timed legs
+    // (per-leg sanity require in graphRunOnce) and fail the run loudly.
+    Thread.setDefaultUncaughtExceptionHandler { (t, e) =>
+      try {
+        val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_async_teardown.log"),
+          s"[${java.time.Instant.now()}] thread=${t.getName}\n$sw\n",
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)

@@ -46,6 +46,7 @@ object BenchProbe {
     // the printed attribution includes graph-gen stages outside the timed
     // region and disagrees with the aggregates beside it
     taskMs.set(0); cpuMs.set(0); gcMs.set(0); stages.set(0); byName.clear()
+    graft.Log.v("probe: timed region start")
     val t0 = System.nanoTime()
     if (args.length > 2 && args(2) == "pr") {
       val run1 = graft.operators.PageRank.run(

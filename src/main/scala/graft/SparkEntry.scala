@@ -387,14 +387,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_pagerank_topk" -> pagerankSql(20),
 
-    // Catalog hand-off: q_catalog_scan commits snap-0 at a fixed path and
-    // reads it back through the manifest; the oracle reads the same
-    // snapshot's data files via a hive-partitioned glob restricted to the
-    // pruned languages — the catalog read must return exactly the
-    // committed rows.
+    // Catalog hand-off: q_catalog_scan commits exactly one snapshot at a
+    // freshly-wiped fixed path and reads it back through the manifest; the
+    // oracle reads the same snapshot's data files via a hive-partitioned
+    // glob (data files live under a commit-unique data/w-<uuid>/ prefix)
+    // restricted to the pruned languages — the catalog read must return
+    // exactly the committed rows.
     "q_catalog_scan" ->
       s"""SELECT fileId AS file_id, lang, sha
-        |FROM read_parquet('${Verify.auxCatalogTablePath}/data/snap-0/lang=*/*.parquet',
+        |FROM read_parquet('${Verify.auxCatalogTablePath}/data/w-*/lang=*/*.parquet',
         |                  hive_partitioning = true)
         |WHERE lang IN ('c', 'py')
         |ORDER BY file_id""".stripMargin,

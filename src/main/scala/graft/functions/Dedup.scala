@@ -128,41 +128,62 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-duplicate pairs with hamming distance ≤ maxDistance —
-    * COMPLETE by construction (recall 1): the 64 signature bits are split
-    * into `maxDistance + 1` contiguous chunks, so any two signatures within
-    * hamming ≤ maxDistance must agree exactly on at least one chunk
-    * (pigeonhole: maxDistance flipped bits cannot touch all maxDistance+1
-    * chunks). Candidates come from `maxDistance+1` bucket joins, never
-    * O(n²) comparisons; the exact hamming filter then removes chunk-lucky
-    * false positives. This is the Manku/Jain/Sarma WWW'07 scheme.
+    * COMPLETE by construction (recall 1), the Manku/Jain/Sarma WWW'07
+    * scheme in its general multi-table form:
     *
-    * Scale note: chunk width = 64/(d+1) bits, so expected bucket size grows
-    * ~n/2^(64/(d+1)) — the standard operating range is d ≤ 6 (chunk ≥ 9
-    * bits); large d degrades toward all-pairs and is better served by
-    * splitting into more tables over permuted bits (Manku §3) — out of
-    * scope here, enforced by the require.
+    * The 64 signature bits are split into `blocks` (B) nearly-equal
+    * contiguous blocks and ONE bucketing table is built per r-combination
+    * of blocks, r = B − maxDistance, keyed on those r blocks' bits.
+    * Pigeonhole: ≤ maxDistance flipped bits touch ≤ maxDistance blocks,
+    * leaving ≥ r blocks untouched — so some table's whole key is clean and
+    * the pair collides there exactly. Candidates come from C(B, r)
+    * bucket joins, never O(n²) comparisons; the exact hamming filter then
+    * removes bucket-lucky false positives. (Manku §3 permutes bits so each
+    * table's key occupies the top bits of a sorted array; equality of
+    * masked values needs no permutation — the partition into blocks is
+    * what the pigeonhole argument uses, contiguity is irrelevant.)
+    *
+    * `blocks` trades table count against bucket size: key width ≈
+    * r·64/B bits, table count C(B, r).
+    *   - Default (blocks = maxDistance+1, r = 1): d+1 tables with
+    *     64/(d+1)-bit keys — the right choice for d ≤ 6 (key ≥ 9 bits).
+    *   - d in [7, 15]: keys of the default scheme degrade below 8 bits
+    *     (buckets toward all-pairs); pick B > d+1 so r ≥ 2, e.g. d = 10,
+    *     B = 12 → C(12,2) = 66 tables with ~10-bit keys: candidate volume
+    *     ≈ 66·n²/2¹⁰ vs the default's 11·n²/2⁵ — ~5× fewer candidates,
+    *     and B = 14 (364 tables, ~18-bit keys) another ~50× down. Recall
+    *     stays exactly 1 for every valid (B, r) — only cost varies.
     */
   def simhashDuplicates(
-      docs: DataFrame, id: Column, text: Column, maxDistance: Int = 3): DataFrame = {
+      docs: DataFrame, id: Column, text: Column, maxDistance: Int = 3,
+      blocks: Int = 0): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 15,
-      s"maxDistance must be in [0,15] (chunk width >= 4 bits); got $maxDistance")
+      s"maxDistance must be in [0,15]; got $maxDistance")
+    val nBlocks = if (blocks == 0) maxDistance + 1 else blocks
+    require(nBlocks > maxDistance && nBlocks <= 32,
+      s"blocks must be in (maxDistance, 32]; got $nBlocks (d=$maxDistance)")
+    val comb = nBlocks - maxDistance
     val sig = docs.select(id.as("id"), simhash(text).as("sig"))
-    // key = the chunk's bits in place (sig & mask): equality of masked
-    // values == equality of the chunk, no shifting required (shifting by a
-    // Column isn't in the Scala API, and decimal division mis-rounds
-    // negative signatures). Chunk widths differ by at most one bit.
-    // Masks explode from a literal array with the signature kept BELOW the
-    // generator, so the expensive simhash tree evaluates once per document
-    // (not once per chunk — see the same note in minhashDuplicates).
-    val nChunks = maxDistance + 1
-    val base = 64 / nChunks
-    val rem = 64 % nChunks
-    val chunkMasks: Array[Long] = Array.tabulate(nChunks) { c =>
+    // key = the selected blocks' bits in place (sig & mask): equality of
+    // masked values == equality of those blocks, no shifting required
+    // (shifting by a Column isn't in the Scala API, and decimal division
+    // mis-rounds negative signatures). Block widths differ by at most one
+    // bit. Masks explode from a literal array with the signature kept
+    // BELOW the generator, so the expensive simhash tree evaluates once
+    // per document (not once per table — see the same note in
+    // minhashDuplicates).
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val blockMasks: Array[Long] = Array.tabulate(nBlocks) { c =>
       val w = base + (if (c < rem) 1 else 0)
       val start = c * base + math.min(c, rem)
       val widthMask = if (w >= 64) -1L else (1L << w) - 1L
       widthMask << start
     }
+    val chunkMasks: Array[Long] =
+      blockMasks.indices.combinations(comb).map(_.map(blockMasks).reduce(_ | _)).toArray
+    require(chunkMasks.length <= 4096,
+      s"C($nBlocks, $comb) = ${chunkMasks.length} tables — pick a smaller `blocks`")
     val chunked = sig
       .select(col("id"), col("sig"),
         posexplode(typedLit(chunkMasks)).as(Seq("chunk", "mask")))

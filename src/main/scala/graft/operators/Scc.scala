@@ -29,6 +29,15 @@ final class SccRun(
   def release(): Unit = releaseFn()
 }
 
+/** Result handle for [[Scc.acceptedRun]]: the eagerly-materialized
+  * (id, comp, accepted) frame plus [[release]] for its cached blocks —
+  * same contract as [[SccRun]] (a long-lived session stacking acceptance
+  * queries without releasing accumulates checkpoint blocks). Idempotent.
+  */
+final class SccAcceptedRun(val accepted: DataFrame, releaseFn: () => Unit) {
+  def release(): Unit = releaseFn()
+}
+
 /** Strongly connected components via Forward-Backward-Trim with pivot
   * coloring — the reference's core algorithm
   * (`/root/reference/main.cpp:165-205`, `cuda/scc_operations.cu`), rebuilt
@@ -92,19 +101,57 @@ object Scc {
       round: Int, localSolved: Long, trimmed: Long, pairTrimmed: Long, bfsSteps: Int,
       sccRows: Long, liveRows: Long)
 
+  /** Per-id degrees of one edge copy in ONE pass: each edge row explodes
+    * into (src, oc=1, ic=0) and (dst, oc=0, ic=1) and the hash aggregation
+    * combines map-side — the same shape the sweep decrement below uses.
+    * One scan + one exchange of per-partition PARTIALS (≤ 2·distinct ids
+    * per partition), vs. the two separate directional aggregations that
+    * needed a second full edge exchange (the dst-partitioned copy) just to
+    * stay exchange-free: at 61M edges that exchange was the largest term of
+    * the edge-build + pre-trim phase, the round-3 bench's only
+    * anti-scaling segment (BASELINE.md round-3 size series).
+    */
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("oc"), lit(0L).as("ic")),
+        struct(col("dst").as("id"), lit(0L).as("oc"), lit(1L).as("ic")))).as("d"))
+      .groupBy(col("d.id").as("id"))
+      .agg(sum("d.oc").as("oc"), sum("d.ic").as("ic"))
+
+  /** Initial flagged degree frame for [[trimFixpoint]]: verts ⟕ one-pass
+    * [[degreesOf]], `dead` = in- or out-degree 0, checkpointed with the
+    * row/dead counts riding the materialization action. Extra `verts`
+    * columns (e.g. `pivot`) ride along unchanged.
+    */
+  private def buildTrimDegrees(
+      arena: CheckpointArena, edges: DataFrame, verts: DataFrame): (DataFrame, Long, Long) = {
+    val carry = verts.columns.filter(_ != "id").toSeq
+    arena.freshFlagged(
+      verts
+        .join(degreesOf(edges), Seq("id"), "left")
+        .select((col("id") +: carry.map(col)) ++ Seq(
+          coalesce(col("oc"), lit(0L)).as("oc"),
+          coalesce(col("ic"), lit(0L)).as("ic")): _*)
+        .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
+      "dead")
+  }
+
   /** Degree-decrement trim-1 fixpoint (`trimming_kernel`/`trimming`,
     * main.cpp:54-63, cuda/scc_operations.cu:89-127) in incremental form:
-    * in/out-degrees are aggregated ONCE from the edge table; each sweep
+    * in/out-degrees come pre-aggregated in `init` (from
+    * [[buildTrimDegrees]] — ONE pass over ONE edge copy); each sweep
     * removes the dead vertices (in- or out-degree 0 ⇒ singleton SCC) and
     * only decrements the counters of their neighbors — O(removed·degree)
     * shuffle per sweep instead of a full edges⨝live re-join. ONE Spark
     * action per sweep (the counter update, whose dead-count rides the
     * checkpoint accumulator; the removed set is a lazy filter).
     *
-    * `verts` needs `id`; extra columns (e.g. `pivot`) ride along unchanged.
-    * `edgesBySrc`/`edgesByDst` are the same edge rows (pass differently
-    * partitioned copies when available so both degree aggregations reuse an
-    * existing exchange). Removed vertices are appended to `assignedParts`
+    * `edges` is scanned once per sweep; `edgesByDst` (same rows,
+    * dst-partitioned) is BY-NAME and only forced by the rare huge sweep
+    * (> 5M removed at once) whose decrement can't broadcast — every other
+    * path leaves the dst copy unbuilt. Removed vertices are appended to
+    * `assignedParts`
     * as (id, comp = id) fragments — LAZY filters over the sweep's already-
     * materialized degree frame, which goes to `partBacking` instead of
     * being released: one driver action per sweep, not two. (The retention
@@ -133,26 +180,18 @@ object Scc {
     */
   private def trimFixpoint(
       arena: CheckpointArena,
-      edgesBySrc: DataFrame,
-      edgesByDst: DataFrame,
-      verts: DataFrame,
+      edges: DataFrame,
+      edgesByDst: => DataFrame,
+      init: (DataFrame, Long, Long),
       maxSweeps: Int,
       assignedParts: mutable.ArrayBuffer[DataFrame],
       partBacking: mutable.ArrayBuffer[DataFrame],
       capFraction: Double,
       capMinRemaining: Long): (DataFrame, Long, Long, Int, Boolean) = {
-    val carry = verts.columns.filter(_ != "id").toSeq
+    var (degs, remaining, deadCnt) = init
+    val carry = degs.columns.filterNot(Set("id", "oc", "ic", "dead")).toSeq
     def proj(oc: Column, ic: Column): Seq[Column] =
       (col("id") +: carry.map(col)) ++ Seq(oc.as("oc"), ic.as("ic"))
-    var (degs, remaining, deadCnt) = arena.freshFlagged(
-      verts
-        .join(edgesBySrc.groupBy(col("src").as("id")).agg(count(lit(1)).as("oc")),
-          Seq("id"), "left")
-        .join(edgesByDst.groupBy(col("dst").as("id")).agg(count(lit(1)).as("ic")),
-          Seq("id"), "left")
-        .select(proj(coalesce(col("oc"), lit(0L)), coalesce(col("ic"), lit(0L))): _*)
-        .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
-      "dead")
     var removedTotal = 0L
     var sweep = 0
     var capped = false
@@ -178,7 +217,7 @@ object Scc {
         if (deadCnt <= 5000000L) {
           val remSrc = broadcast(removed.select(col("id").as("src"), lit(1).as("_rs")))
           val remDst = broadcast(removed.select(col("id").as("dst"), lit(1).as("_rd")))
-          edgesBySrc
+          edges
             .join(remSrc, Seq("src"), "left")
             .join(remDst, Seq("dst"), "left")
             .filter(col("_rs").isNotNull || col("_rd").isNotNull)
@@ -192,7 +231,7 @@ object Scc {
             .select(col("e.id").as("id"), col("e.dIn").as("dIn"), col("e.dOut").as("dOut"))
             .groupBy("id").agg(sum("dIn").as("dIn"), sum("dOut").as("dOut"))
         } else {
-          edgesBySrc
+          edges
             .join(removed.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
             .select(col("dst").as("id"), lit(1L).as("dIn"), lit(0L).as("dOut"))
             .unionByName(edgesByDst
@@ -326,13 +365,17 @@ object Scc {
     // the edge table every superstep — with the partitioning-preserving
     // checkpoint (GraftShims) the per-step shuffle is O(frontier), not
     // O(edges + state).
-    // Build cost is kept at TWO edge exchanges: the dedup folds into the
-    // src-repartition (hash(src) co-locates equal (src,dst) pairs, so the
-    // distinct aggregation adds no exchange), the defensive endpoint
-    // semi-joins are skipped when the caller guarantees closure
-    // (`edgesWithinVertices` — generated graphs, `% m n` files whose ids
-    // are dense by format), and the dst copy re-shuffles the CACHED src
-    // copy instead of recomputing the cleaning pipeline.
+    // Build cost BEFORE the first BFS hop is kept at ONE edge exchange: the
+    // dedup folds into the src-repartition (hash(src) co-locates equal
+    // (src,dst) pairs, so the distinct aggregation adds no exchange), the
+    // defensive endpoint semi-joins are skipped when the caller guarantees
+    // closure (`edgesWithinVertices` — generated graphs, `% m n` files
+    // whose ids are dense by format), and the dst copy is built LAZILY off
+    // the cached src copy: nothing before the first backward BFS hop reads
+    // it, so its full-table exchange no longer sits in the edge-build +
+    // pre-trim phase (the round-3 bench's only anti-scaling segment —
+    // 39.9 s @8 vs 67.4 s @32 at 61M edges, shuffle-write-bound), and runs
+    // whose trims finish the whole graph never pay it at all.
     val base = edges.select("src", "dst").filter(col("src") =!= col("dst"))
     val eClean =
       if (edgesWithinVertices) base
@@ -341,11 +384,12 @@ object Scc {
         .join(verts.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
     val eBySrc = eClean.repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val numEdges = eBySrc.count()
-    // no eager count: the dst copy's cache fills on its first consumer
-    // (the pre-trim's in-degree aggregation) — same work, one less job
-    val eByDst = eBySrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    graft.Log.v(s"scc: edges materialized ($numEdges)")
+    var eByDstCell: Option[DataFrame] = None
+    def eByDst: DataFrame = eByDstCell.getOrElse {
+      val d = eBySrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+      eByDstCell = Some(d)
+      d
+    }
 
     // Finished (id, comp) fragments; each is independently materialized (or
     // a lazy filter over a materialized backing frame), the final answer is
@@ -371,12 +415,20 @@ object Scc {
     // whether the global trim phase is complete (fixpoint or adaptive cap)
     // — used to skip the then-redundant round-0 trim, see below
     var preTrimDone = true
-    // live max out/in degree from the trim fixpoint's degree counters —
-    // feeds the salting gate without re-aggregating the edge table
-    var liveMaxDegs: Option[(Long, Long)] = None
+    // full-graph max out/in degree, captured from the pre-trim degree frame
+    // — feeds the salting gate without re-aggregating the edge table. FULL
+    // graph, not live: BFS hit aggregation joins the frontier against the
+    // full edge tables and masks dead targets only afterwards at the state
+    // join, so a pre-trim-removed hub is still an aggregation key with its
+    // full fan-in (ADVICE r3).
+    var fullMaxDegs: Option[(Long, Long)] = None
+    // edge total (Σ out-degree of the pre-trim degree frame — rides the
+    // degree pass instead of a separate full cache-scan count job); -1 on
+    // the durable-resume path, which never reads it
+    var numEdges = -1L
     // whether the whole-graph local-solve shortcut applies (also excludes
     // the salting gate: that path never aggregates pivot sets)
-    val wholeGraphLocal = numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0
+    var wholeGraphLocal = false
     // whether `live` is known hash(id)-partitioned (lets the BFS seed skip
     // an explicit repartition when the relabel pass is also skipped)
     var liveIdPart = false
@@ -412,26 +464,41 @@ object Scc {
         round = r + 1
         preTrimDone = false // conservatively run per-round trims
 
-      case None if wholeGraphLocal =>
-        // ---- whole-graph local-solve shortcut: the ENTIRE edge set fits
-        // one task, so round 0's per-group Tarjan will finish the job in a
-        // single shuffle regardless of partitioning — pre-trim and the WCC
-        // pre-partition would only add ~20 driver actions of pure latency.
-        // One pivot group (0) routes everything to the local solver.
-        preTrimDone = false
-        val lc = arena.freshCounted(verts.select(col("id"), lit(0L).as("pivot")))
-        live = lc._1
-        liveCount = lc._2
-        graft.Log.v(s"scc: $numEdges edges <= localSolveEdgeThreshold — whole-graph local solve")
-
       case None =>
+        // ---- ONE action materializes the edge cache AND the full-graph
+        // degree frame: the src-exchange + dedup flow straight into the
+        // one-pass explode degree aggregation ([[degreesOf]]) — the round-3
+        // phase paid a separate count job plus the dst copy's full exchange
+        // here, the two terms its (8,32) anti-scaling was made of.
+        val init = buildTrimDegrees(arena, eBySrc, verts)
+        // exact phase stats from the checkpointed V-row frame (one cheap
+        // cached-scan job): Σoc = edge total; full-graph max degrees feed
+        // the salting gate.
+        val statsRow = init._1.agg(
+          coalesce(sum("oc"), lit(0L)), coalesce(max("oc"), lit(0L)),
+          coalesce(max("ic"), lit(0L))).head()
+        numEdges = statsRow.getLong(0)
+        fullMaxDegs = Some((statsRow.getLong(1), statsRow.getLong(2)))
+        graft.Log.v(s"scc: edges materialized ($numEdges)")
+        wholeGraphLocal = numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0
+        if (wholeGraphLocal) {
+          // ---- whole-graph local-solve shortcut: the ENTIRE edge set fits
+          // one task, so round 0's per-group Tarjan will finish the job in a
+          // single shuffle regardless of partitioning — pre-trim and the WCC
+          // pre-partition would only add ~20 driver actions of pure latency.
+          // One pivot group (0) routes everything to the local solver.
+          preTrimDone = false
+          arena.release(init._1)
+          val lc = arena.freshCounted(verts.select(col("id"), lit(0L).as("pivot")))
+          live = lc._1
+          liveCount = lc._2
+          graft.Log.v(s"scc: $numEdges edges <= localSolveEdgeThreshold — whole-graph local solve")
+        } else {
         // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172
         // does the same) — degree-0 peeling needs no partition map and
-        // shrinks the first FW-BW round. The two initial degree
-        // aggregations reuse the two persisted edge partitionings (both
-        // exchange-free).
+        // shrinks the first FW-BW round.
         val (degs, preRemaining, preTrimmed, preSweeps, preDone) = trimFixpoint(
-          arena, eBySrc, eByDst, verts, maxTrimSweeps, assignedParts, partBacking,
+          arena, eBySrc, eByDst, init, maxTrimSweeps, assignedParts, partBacking,
           trimCapFraction, trimCapMinRemaining)
         preTrimDone = preDone
         assigned += preTrimmed
@@ -462,12 +529,11 @@ object Scc {
           .agg(max(struct(
               (col("oc").cast("decimal(19,0)") * col("ic")).as("p"),
               (-col("id")).as("negId"))),
-            sum(col("oc")), max(col("oc")), max(col("ic")))
+            sum(col("oc")))
           .head()
         if (!pivotRow.isNullAt(0)) {
           val pivot0 = -pivotRow.getStruct(0).getLong(1)
           liveEdges0 = if (pivotRow.isNullAt(1)) 0L else pivotRow.getLong(1)
-          liveMaxDegs = Some((pivotRow.getLong(2), pivotRow.getLong(3)))
           graft.Log.v(s"scc: round-0 pivot $pivot0 by degree product ($liveEdges0 live edges)")
           // Fast seed: when round 0 is certain to take the slim le-skip
           // path (same predicate as skipLe below), nothing in that round
@@ -495,25 +561,26 @@ object Scc {
           liveCount = 0L
           arena.release(degs)
         }
+        }
     }
     // every vertex is now either in an assigned fragment or live
     expectedTotal = assigned + liveCount
 
     // ---- skew gate: when a hub vertex exceeds the threshold, the BFS
     // pivot-set aggregation switches to the two-level salted build
-    // (Salting.saltedDirectionalCollectSet). The max LIVE degrees come for
-    // free from the trim fixpoint's degree counters (captured in the pivot
-    // argmax pass) — live degrees are also the right gate: the BFS only
-    // ever aggregates over the live subgraph. Two full-edge degree
-    // aggregations run only on the rare paths that have no trim counters
-    // (durable resume). Computed only when a distributed BFS can happen —
-    // the whole-graph local-solve shortcut never aggregates pivot sets.
+    // (Salting.saltedDirectionalCollectSet). The max FULL-GRAPH degrees
+    // come for free from the pre-trim degree pass — full-graph, because the
+    // BFS aggregates hits over the full edge tables (dead targets masked
+    // only at the state join), so a trimmed-away hub still bounds fan-in.
+    // One one-pass degree aggregation runs only on the rare path that has
+    // no degree frame (durable resume). Computed only when a distributed
+    // BFS can happen — the whole-graph local-solve shortcut never
+    // aggregates pivot sets.
     val useSalting = liveCount > 0 && !wholeGraphLocal && {
-      val (maxOutDeg, maxInDeg) = liveMaxDegs.getOrElse {
-        (eBySrc.groupBy("src").agg(count(lit(1)).as("c"))
-            .agg(coalesce(max("c"), lit(0L))).head().getLong(0),
-          eByDst.groupBy("dst").agg(count(lit(1)).as("c"))
-            .agg(coalesce(max("c"), lit(0L))).head().getLong(0))
+      val (maxOutDeg, maxInDeg) = fullMaxDegs.getOrElse {
+        val r = degreesOf(eBySrc)
+          .agg(coalesce(max("oc"), lit(0L)), coalesce(max("ic"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
       }
       val hot = maxOutDeg > hubDegreeThreshold || maxInDeg > hubDegreeThreshold
       if (hot)
@@ -648,7 +715,8 @@ object Scc {
         // trickle the cap deliberately left to later rounds.
         if (round > 0 || !preTrimDone) {
           val (degsR, remaining, trimmed, _, _) = trimFixpoint(
-            arena, leLive, leLive, live, maxTrimSweeps, assignedParts, partBacking,
+            arena, leLive, leLive, buildTrimDegrees(arena, leLive, live),
+            maxTrimSweeps, assignedParts, partBacking,
             trimCapFraction, trimCapMinRemaining)
           trimmedTotal = trimmed
           assigned += trimmed
@@ -966,25 +1034,41 @@ object Scc {
       else assignedParts.reduce(_.unionByName(_))
     arena.closeExcept((assignedParts ++ partBacking).toSeq: _*)
     eBySrc.unpersist(false)
-    eByDst.unpersist(false)
+    eByDstCell.foreach(_.unpersist(false))
     new SccRun(result, metrics.result(), assigned, () => arena.closeExcept())
   }
 
 
-  /** The reference's full query (SURVEY.md §1.1): which SCCs are *accepted*
-    * given subset U. Returns (id, comp, accepted). `vertices` must carry
-    * (id, isU). `edgesWithinVertices` as in [[components]] (the `% m n`
-    * file format implies it — the reference's loader indexes arrays by
-    * edge endpoint without bounds checks, so trusting the header matches
-    * reference behavior; InducedU re-derives its own closed subset and
-    * ignores the flag).
+  /** [[acceptedRun]]'s result frame without the release handle — for
+    * short-lived sessions (the CLI, single-query runs) where the session's
+    * end reclaims the blocks anyway. Long-lived callers stacking many
+    * acceptance queries should use [[acceptedRun]] and release each.
     */
   def accepted(
       spark: SparkSession,
       edges: DataFrame,
       vertices: DataFrame,
       mode: SccMode = FullGraph,
-      edgesWithinVertices: Boolean = false): DataFrame = {
+      edgesWithinVertices: Boolean = false): DataFrame =
+    acceptedRun(spark, edges, vertices, mode, edgesWithinVertices).accepted
+
+  /** The reference's full query (SURVEY.md §1.1): which SCCs are *accepted*
+    * given subset U. The result carries (id, comp, accepted) — eagerly
+    * materialized (the decomposition's own blocks are already spent and
+    * released before this returns) — plus `release()` to drop its cached
+    * blocks once consumed, the same contract as [[SccRun]].
+    * `vertices` must carry (id, isU). `edgesWithinVertices` as in
+    * [[components]] (the `% m n` file format implies it — the reference's
+    * loader indexes arrays by edge endpoint without bounds checks, so
+    * trusting the header matches reference behavior; InducedU re-derives
+    * its own closed subset and ignores the flag).
+    */
+  def acceptedRun(
+      spark: SparkSession,
+      edges: DataFrame,
+      vertices: DataFrame,
+      mode: SccMode = FullGraph,
+      edgesWithinVertices: Boolean = false): SccAcceptedRun = {
     val run = mode match {
       case FullGraph => components(spark, edges, vertices.select("id"),
         edgesWithinVertices = edgesWithinVertices)
@@ -1013,17 +1097,17 @@ object Scc {
       .select(col("dstComp").as("comp")).distinct()
       .withColumn("isKilled", lit(true))
 
-    val out = withU
+    val outArena = new CheckpointArena
+    val (out, _) = outArena.freshCounted(withU
       .join(stats, Seq("comp"))
       .join(killed, Seq("comp"), "left")
       .select(
         col("id"), col("comp"),
         (col("sz") >= 2 && col("allU") && coalesce(col("isKilled"), lit(false)) === false)
-          .as("accepted"))
-      .localCheckpoint(true)
+          .as("accepted")))
     withU.unpersist(false)
     run.release() // out is eagerly materialized; the decomposition's blocks are spent
-    out
+    new SccAcceptedRun(out, () => outArena.closeExcept())
   }
 
   /** The reference's printed answer (`standalone.cpp:309-326`): members of

@@ -54,6 +54,68 @@ class CatalogSpec extends SparkTest {
     assert(none.count() == 0 && none.columns.contains("sha"))
   }
 
+  test("two concurrent committers: both commits survive (optimistic CAS)") {
+    val table = freshTable()
+    val a = CodeTable.generate(spark,
+      GraphSpec(numCycles = 8, maxCycleLen = 4, extraArcsPerVertex = 0.3, seed = 11L))
+    val b = CodeTable.generate(spark,
+      GraphSpec(numCycles = 8, maxCycleLen = 4, extraArcsPerVertex = 0.3, seed = 12L))
+      .withColumn("fileId", col("fileId") + 1000000L)
+    // both race commitAppend on the same empty table: exactly one wins
+    // snapshot 0, the other must rebase onto it and land as snapshot 1 —
+    // a silently-dropped commit shows up as a missing row set below
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(TableCatalog.commitAppend(spark, table, a))
+    val fb = Future(TableCatalog.commitAppend(spark, table, b))
+    val ids = Seq(Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(ids.sorted == Seq(0, 1), s"ids=$ids")
+    assert(TableCatalog.currentSnapshotId(table) == 1)
+    assert(TableCatalog.scan(spark, table).count() == a.count() + b.count())
+    // the rebased loser carried the winner's entries forward
+    val s1 = TableCatalog.snapshot(table, 1).entries.map(_.path).toSet
+    assert(TableCatalog.snapshot(table, 0).entries.map(_.path).toSet.subsetOf(s1))
+  }
+
+  test("expireSnapshots drops old manifests + their orphaned data files") {
+    val table = freshTable()
+    val gen = CodeTable.generate(spark,
+      GraphSpec(numCycles = 8, maxCycleLen = 4, extraArcsPerVertex = 0.3, seed = 13L))
+    TableCatalog.commitAppend(spark, table, gen)               // snap 0
+    TableCatalog.commitAppend(spark, table,                    // snap 1 (carries 0)
+      gen.withColumn("fileId", col("fileId") + 1000000L))
+    TableCatalog.commitOverwrite(spark, table, gen)            // snap 2 (fresh files)
+    val n2 = TableCatalog.scan(spark, table).count()
+    val oldPaths = TableCatalog.snapshot(table, 1).entries.map(_.path)
+    val deleted = TableCatalog.expireSnapshots(table, keepLast = 1)
+    // snaps 0+1 referenced the same physical append files; snap 2's
+    // overwrite shares none of them, so every old path must be gone
+    assert(deleted == oldPaths.distinct.size)
+    assert(oldPaths.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // time travel to an expired id fails cleanly; current reads unaffected
+    intercept[IllegalArgumentException](TableCatalog.scan(spark, table, snapshotId = Some(0)))
+    assert(TableCatalog.currentSnapshotId(table) == 2)
+    assert(TableCatalog.scan(spark, table).count() == n2)
+    TableCatalog.snapshot(table, 2).entries.foreach(e =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(e.path))))
+  }
+
+  test("pruned scan is ONE relation: a single parquet scan node in the plan") {
+    val table = freshTable()
+    TableCatalog.commitAppend(spark, table, CodeTable.generate(spark,
+      GraphSpec(numCycles = 16, maxCycleLen = 5, extraArcsPerVertex = 0.4, seed = 14L)))
+    val multi = TableCatalog.scan(spark, table, langs = Some(Seq("c", "py", "java")))
+    val scanNodes = multi.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scanNodes.size == 1, s"expected one scan node, got ${scanNodes.size}")
+    // lang recovery from the file path matches the partition the manifest
+    // recorded for every row
+    val langs = multi.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("c", "py", "java"))
+  }
+
   test("sha256 row invariant survives the catalog round-trip") {
     val table = freshTable()
     val files = CodeTable.generate(spark,

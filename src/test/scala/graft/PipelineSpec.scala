@@ -221,6 +221,39 @@ class DedupSpec extends SparkTest {
     }
     assert(spread, "fixture lacks a >3-distance multi-chunk pair; strengthen it")
   }
+
+  test("multi-table simhash (blocks > d+1) is COMPLETE at d=10 vs brute force") {
+    val s = spark; import s.implicits._
+    // heavier graded perturbations so planted pairs land around hamming 10
+    val baseToks = (1 to 60).map(i => s"tok$i")
+    val docs = docsDf((0 until 40).map { k =>
+      k.toLong -> baseToks.zipWithIndex.map { case (t, i) =>
+        if (i < 2 * k) s"mut${k}_$i" else t
+      }.mkString(" ")
+    })
+    val d = 10
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= d
+    } yield (a, b)).toSet
+    // the fixture must exercise the multi-table pigeonhole beyond the
+    // trivial all-identical case: some pair at distance in (6, 10]
+    assert(brute.exists { case (a, b) =>
+      val h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)); h > 6 && h <= 10
+    }, "fixture lacks a distance-(6,10] pair; strengthen it")
+    // B=12, r=2: C(12,2)=66 tables with ~10-bit keys — the d>6 scale path
+    val got = Dedup.simhashDuplicates(docs, col("doc_id"), col("text"),
+      maxDistance = d, blocks = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missed=${(brute -- got).size} extra=${(got -- brute).size}")
+    // recall is 1 for ANY valid (B, r): a second geometry agrees
+    val got14 = Dedup.simhashDuplicates(docs, col("doc_id"), col("text"),
+      maxDistance = d, blocks = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got14 == brute)
+  }
 }
 
 class SimilaritySpec extends SparkTest {

@@ -306,6 +306,24 @@ class SccSpec extends SparkTest {
     assert(leaked.isEmpty, s"blocks remaining after release: $leaked")
   }
 
+  test("acceptedRun release() drops the acceptance frame's cached blocks") {
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 3L))
+    val verts = (0L to 4L).map(id => (id, true))
+    import spark.implicits._
+    val before = ids.toSet
+    val run = Scc.acceptedRun(spark,
+      edges.toDF("src", "dst"), verts.toDF("id", "isU"))
+    // {0,1,2} accepted; {3,4} killed by the U-edge 2→3 from another comp
+    assert(run.accepted.filter(org.apache.spark.sql.functions.col("accepted")).count() == 3)
+    assert(run.accepted.count() == 5)
+    val created = ids.toSet -- before
+    assert(created.nonEmpty, "acceptedRun should hold cached blocks before release")
+    run.release()
+    val leaked = created.intersect(ids.toSet)
+    assert(leaked.isEmpty, s"blocks remaining after acceptedRun release: $leaked")
+  }
+
   test("kill-between-rounds resume: snapshot manifest restores the outer loop") {
     // two cycles joined by an arc need two FW-BW rounds when nothing routes
     // to the local solver: round 0 finds the pivot's SCC, round 1 the rest.
