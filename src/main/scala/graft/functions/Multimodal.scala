@@ -215,7 +215,8 @@ object Multimodal {
       * compression, `movi` from the given per-frame chunk payloads. */
     private def assemble(
         w: Int, h: Int, fps: Int, handler: String, compression: Int,
-        bufSize: Int, frameChunks: Iterator[Array[Byte]], nFrames: Int): Array[Byte] = {
+        bufSize: Int, frameChunkId: String,
+        frameChunks: Iterator[Array[Byte]], nFrames: Int): Array[Byte] = {
       val le = java.nio.ByteOrder.LITTLE_ENDIAN
       val avih = java.nio.ByteBuffer.allocate(56).order(le)
       avih.putInt(1000000 / math.max(1, fps))   // µs per frame
@@ -240,15 +241,18 @@ object Multimodal {
       val hdrl = list("LIST", "hdrl",
         chunk("avih", avih.array()) ++
           list("LIST", "strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+      // VfW convention: '00db' = uncompressed DIB frame, '00dc' =
+      // compressed frame — our decoder accepts both, but strict external
+      // parsers key behavior on the suffix (ADVICE r3)
       val movi = list("LIST", "movi",
-        frameChunks.map(chunk("00dc", _))
+        frameChunks.map(chunk(frameChunkId, _))
           .reduceOption(_ ++ _).getOrElse(Array.emptyByteArray))
       list("RIFF", "AVI ", hdrl ++ movi)
     }
 
     def encode(v: Video): Array[Byte] = {
       val w = v.width; val h = v.height; val st = stride(w)
-      assemble(w, h, v.fps, "DIB ", 0, st * h,
+      assemble(w, h, v.fps, "DIB ", 0, st * h, frameChunkId = "00db",
         v.frames.iterator.map { rgb =>
           require(rgb.length == w * h * 3, s"frame must be ${w * h * 3} bytes")
           val dib = new Array[Byte](st * h)
@@ -274,7 +278,7 @@ object Multimodal {
       * approximately the input pixels. */
     def encodeMjpeg(v: Video): Array[Byte] = {
       val w = v.width; val h = v.height
-      assemble(w, h, v.fps, "MJPG", MJPG, w * h * 3,
+      assemble(w, h, v.fps, "MJPG", MJPG, w * h * 3, frameChunkId = "00dc",
         v.frames.iterator.map { rgb =>
           require(rgb.length == w * h * 3, s"frame must be ${w * h * 3} bytes")
           val img = new java.awt.image.BufferedImage(
@@ -368,6 +372,12 @@ object Multimodal {
               }
               frames += rgb
             case "00db" | "00dc" =>
+              // compression == -1 means no strf was parsed before this
+              // frame chunk: a structural problem (movi before strl, or a
+              // missing strf), not an unknown codec (ADVICE r3)
+              if (compression == -1)
+                throw new IllegalArgumentException(
+                  "malformed AVI: frame chunk before any strf header (missing/out-of-order strf)")
               throw new IllegalArgumentException(
                 f"unsupported video codec: biCompression=0x$compression%08x (BI_RGB and MJPG supported)")
             case _ => // skip idx1, JUNK, strn, …

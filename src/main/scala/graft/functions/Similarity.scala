@@ -105,8 +105,15 @@ object Similarity {
     * pair is scored exactly once (candidates deduped before the vectors
     * join back — multi-bucket collisions never repeat the dot product).
     */
-  def lshTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int,
+  /** Every LSH candidate scored by exact cosine at FULL precision — the
+    * rerank input of [[lshTopK]], exposed so the driver oracle can hand off
+    * (queryId, neighborId, cosine): DuckDB then verifies the cosine with
+    * its own arithmetic within an epsilon and ranks on the verified value —
+    * no cross-engine float-rounding-boundary sensitivity in the gate
+    * (ADVICE r3).
+    */
+  def lshScored(
+      queries: DataFrame, corpus: DataFrame,
       numPlanes: Int = 8, probes: Int = 4,
       qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
@@ -115,12 +122,23 @@ object Similarity {
       .withColumn("qn", l2norm(col("qv")))
     val c = corpus.select(col(cId).as("neighborId"), col(cVec).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    val scored = cand.join(broadcast(q), Seq("queryId"))
+    cand.join(broadcast(q), Seq("queryId"))
       .join(c, Seq("neighborId"))
       .withColumn("cosine",
-        round(when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-          .otherwise(0.0), 6))
+        when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(0.0))
       .select("queryId", "neighborId", "cosine")
+  }
+
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 8, probes: Int = 4,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    // rank on the 6dp-quantized cosine with neighborId ties so equal-score
+    // candidates order identically in any engine computing the same quanta
+    val scored = lshScored(queries, corpus, numPlanes, probes, qId, qVec, cId, cVec)
+      .withColumn("cosine", round(col("cosine"), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("queryId").orderBy(col("cosine").desc, col("neighborId"))
     scored.withColumn("rank", row_number().over(w))

@@ -113,6 +113,37 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked STREAM-STREAM interval join — the streaming twin of the
+    * batch as-of semantics ([[graft.functions.AsOf]]): every purchase event
+    * joined to the same user's view events within `[purchase.ts − maxLag,
+    * purchase.ts]` (the attribution query). Equality key `user_id` +
+    * event-time interval condition is exactly the shape Structured
+    * Streaming's symmetric hash join supports; the watermark on BOTH sides
+    * plus the interval bound lets Spark evict join state older than
+    * watermark − maxLag, so state stays bounded on an unbounded stream.
+    * Inner join, append mode. Both inputs may be the same stream (a
+    * stream self-join) — [[viewsBeforePurchases]] below splits one event
+    * stream by type.
+    */
+  def viewsBeforePurchases(
+      events: DataFrame, maxLag: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    val views = base.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    purchases.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxLag"))
+      .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts", "value")
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) for verification:
     * session boundaries via lag() windows — the DuckDB-oracle-friendly form.
     */
