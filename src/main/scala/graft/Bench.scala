@@ -106,21 +106,58 @@ object Bench {
       mean(pairs.map(_._3)), mean(pairs.map(_._4)), pairs.head._5)
   }
 
+  /** Teardown noise goes here in full; stderr stays clean for the driver. */
+  private val teardownLog = java.nio.file.Paths.get("target/bench_async_teardown.log")
+
+  private def logTeardown(header: String, body: String): Unit =
+    try java.nio.file.Files.writeString(teardownLog,
+      s"[${java.time.Instant.now()}] $header\n$body\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => }
+
+  /** A line-buffered System.err replacement that diverts stack-trace lines
+    * to [[teardownLog]] and forwards everything else to the real stderr.
+    *
+    * Why a stream filter and not an exception handler: the interleaved legs
+    * stop and restart the context back-to-back, and promise callbacks still
+    * in flight when a leg's pools close die with RejectedExecutionException
+    * REPORTED via `scala.concurrent.ExecutionContext.defaultReporter`, which
+    * calls `printStackTrace()` on `System.err` directly — no uncaught-
+    * exception handler ever sees them (BENCH_r03's tail; the r4 handler-only
+    * attempt still leaked 93 `[error]` lines). Suppression is per-line:
+    * known-teardown exception headers and `at …`/`Caused by`/`… N more`
+    * frames divert; any other line (e.g. the `[bench] query: err` one-liners)
+    * passes through. A leg failure never relies on stderr — it propagates as
+    * an exception from the timed region (per-leg sanity require) and fails
+    * the run's exit code loudly.
+    */
+  private final class StderrTraceFilter(real: java.io.PrintStream)
+      extends java.io.OutputStream {
+    private val buf = new java.lang.StringBuilder
+    private def traceLine(s: String): Boolean = {
+      val t = s.stripLeading()
+      t.startsWith("at ") || t.startsWith("Caused by:") || t.startsWith("... ") ||
+      t.startsWith("java.util.concurrent.RejectedExecutionException") ||
+      t.startsWith("org.apache.spark.SparkException: Job") ||
+      t.startsWith("java.lang.InterruptedException")
+    }
+    override def write(b: Int): Unit = synchronized {
+      if (b == '\n') {
+        val line = buf.toString; buf.setLength(0)
+        if (traceLine(line)) logTeardown("stderr-diverted", line)
+        else { real.println(line); real.flush() }
+      } else buf.append(b.toChar)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    // Route async-teardown stack traces (threads with no handler of their
-    // own, completing promises after a leg's pools shut down) to a log file
-    // instead of stderr: under sbt every stderr line renders as `[error]`,
-    // and BENCH_r03's tail carried one such trace mid-run. Real failures
-    // don't pass here — they propagate as exceptions from the timed legs
-    // (per-leg sanity require in graphRunOnce) and fail the run loudly.
+    System.setErr(new java.io.PrintStream(
+      new StderrTraceFilter(System.err), true, "UTF-8"))
+    // Threads with no reporter of their own (e.g. JVM-default handler paths)
+    // also land in the log, not stderr.
     Thread.setDefaultUncaughtExceptionHandler { (t, e) =>
-      try {
-        val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("target/bench_async_teardown.log"),
-          s"[${java.time.Instant.now()}] thread=${t.getName}\n$sw\n",
-          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-      } catch { case _: Throwable => }
+      val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw))
+      logTeardown(s"thread=${t.getName}", sw.toString)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt

@@ -298,6 +298,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- events: the SAME as-of semantics through the time-bucketed
+    // carry-forward plan (functions.AsOf.lastBeforeBucketed) — the hot-key
+    // scale path where one key's rows spread over (key, 1-hour bucket)
+    // tasks instead of one task's sort. Oracle is the identical ASOF SQL
+    // as q_asof_join: the decomposition must be exactly equivalent. ----
+    "q_asof_bucketed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      graft.functions.AsOf.lastBeforeBucketed(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us"),
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("us"), col("event_id"),
+            col("event_id").as("view_event_id"), col("value").as("view_value")),
+        keys = Seq("user_id"), tsCol = "us", seqCol = "event_id",
+        payload = Seq("view_event_id", "view_value"),
+        bucketWidth = 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          round(coalesce(col("view_value"), lit(0.0)), 4).as("view_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- events: gap sessionization (batch form) ----
     "q_sessionize" -> ((s, d) =>
       EventStream.sessionizeBatch(t(s, d, "events"), gapMs = 10 * 60 * 1000)
@@ -773,6 +796,27 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS v_id, CAST(NULL AS DOUBLE) AS v_val
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, event_id, value
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    last_value(v_id IGNORE NULLS) OVER win AS m_id,
+        |    last_value(v_val IGNORE NULLS) OVER win AS m_val
+        |  FROM u WINDOW win AS (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, coalesce(m_id, -1) AS view_event_id,
+        |  round(coalesce(m_val, 0.0), 4) AS view_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    // identical contract to q_asof_join — the bucketed plan must reproduce
+    // the plain as-of result exactly (ts order == unix_micros order; ties
+    // broken by the shared unique event_id)
+    "q_asof_bucketed" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id, 1 AS side,
         |         CAST(NULL AS BIGINT) AS v_id, CAST(NULL AS DOUBLE) AS v_val
