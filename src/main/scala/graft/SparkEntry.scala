@@ -364,6 +364,30 @@ object SparkEntry {
         .orderBy("file_id")
     }),
 
+    // ---- catalog: file-level column statistics (Iceberg lower_bounds /
+    // upper_bounds). The commit range-partitions its input on fileId so
+    // each data file carries a tight [lo, hi]; the scan hands Spark only
+    // files whose bounds intersect the predicate and re-applies the
+    // predicate row-level. The oracle reads EVERY data file of the same
+    // snapshot with the same WHERE — so a pruning bug that drops a file
+    // with matching rows (or a residual bug that leaks non-matching rows)
+    // is a hash mismatch.
+    "q_catalog_stats" -> ((s, _) => {
+      val spec = GraphSpec(numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 7L)
+      val dir = java.nio.file.Paths.get(Verify.auxStatsTablePath)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      graft.sources.TableCatalog.commitOverwrite(s, Verify.auxStatsTablePath,
+        CodeTable.generate(s, spec).repartitionByRange(8, col("fileId")))
+      graft.sources.TableCatalog.scan(s, Verify.auxStatsTablePath,
+        predicates = Seq(graft.sources.TableCatalog.LongBetween("fileId", 100L, 220L)))
+        .select(col("fileId").as("file_id"), col("lang"), col("sha"))
+        .orderBy("file_id")
+    }),
+
     // Seeded label propagation over the import-edge graph: every 10th file
     // carries its language as a clamped seed label; 3 synchronous
     // majority-of-in-neighbors rounds (min-label tie-break) spread it along
@@ -432,6 +456,16 @@ object SparkEntry {
         |FROM read_parquet('${Verify.auxCatalogTablePath}/data/w-*/lang=*/*.parquet',
         |                  hive_partitioning = true)
         |WHERE lang IN ('c', 'py')
+        |ORDER BY file_id""".stripMargin,
+
+    // Stats-pruning hand-off: DuckDB reads ALL of the snapshot's data files
+    // (no pruning) and filters — the stats-pruned catalog scan must return
+    // exactly these rows.
+    "q_catalog_stats" ->
+      s"""SELECT fileId AS file_id, lang, sha
+        |FROM read_parquet('${Verify.auxStatsTablePath}/data/w-*/lang=*/*.parquet',
+        |                  hive_partitioning = true)
+        |WHERE fileId BETWEEN 100 AND 220
         |ORDER BY file_id""".stripMargin,
 
     // Signature hand-off (Verify.auxSimhashSigsPath): brute-force hamming

@@ -27,6 +27,13 @@ object Verify {
     * data files directly. */
   val auxCatalogTablePath = "/root/repo/target/verify_aux/catalog_table"
 
+  /** TableCatalog table written by q_catalog_stats (range-partitioned input
+    * so each data file carries tight per-file fileId bounds); the query
+    * scans through stats-based file pruning, the oracle reads ALL the
+    * snapshot's data files with the same WHERE — pruning + residual must
+    * return exactly the matching rows. */
+  val auxStatsTablePath = "/root/repo/target/verify_aux/catalog_stats_table"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -116,6 +116,83 @@ class CatalogSpec extends SparkTest {
     assert(langs == Set("c", "py", "java"))
   }
 
+  test("file-level column stats prune the file list; scan stays exact") {
+    val table = freshTable()
+    val files = CodeTable.generate(spark,
+      GraphSpec(numCycles = 32, maxCycleLen = 5, extraArcsPerVertex = 0.4, seed = 21L))
+      // range-partition on fileId so each data file carries a TIGHT bound —
+      // the precondition for bounds-based pruning to bite
+      .repartitionByRange(8, col("fileId"))
+    TableCatalog.commitAppend(spark, table, files)
+
+    // manifest round-trip: entries carry parsed bounds with lo <= hi
+    val entries = TableCatalog.snapshot(table, 0).entries
+    assert(entries.forall(_.stats.contains("fileId")))
+    entries.flatMap(_.stats.get("fileId")).foreach { b =>
+      assert(b.isLong && b.lo.get.toLong <= b.hi.get.toLong)
+    }
+
+    val all = TableCatalog.scan(spark, table)
+    val narrow = TableCatalog.scan(spark, table,
+      predicates = Seq(TableCatalog.LongBetween("fileId", 50L, 120L)))
+    assert(narrow.inputFiles.length < all.inputFiles.length,
+      s"stats pruned nothing: ${narrow.inputFiles.length} of ${all.inputFiles.length}")
+    // exact: pruning + residual == full scan + post-filter, row for row
+    val expect = all.filter(col("fileId").between(50L, 120L))
+      .select("fileId", "sha").collect().map(_.toString).sorted.toSeq
+    val got = narrow.select("fileId", "sha").collect().map(_.toString).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+
+    // string-column bounds (repo) prune too, and agree with a post-filter
+    val byRepo = TableCatalog.scan(spark, table,
+      predicates = Seq(TableCatalog.StringBetween("repo", "repo00000", "repo00001")))
+    assert(byRepo.inputFiles.length < all.inputFiles.length)
+    assert(byRepo.count() ==
+      all.filter(col("repo").between("repo00000", "repo00001")).count())
+  }
+
+  test("stats-less files are kept: predicate scan exact without bounds") {
+    val table = freshTable()
+    val files = CodeTable.generate(spark,
+      GraphSpec(numCycles = 8, maxCycleLen = 4, extraArcsPerVertex = 0.3, seed = 22L))
+    // commit records NO stats (simulates pre-stats snapshots)
+    TableCatalog.commitAppend(spark, table, files, statsColumns = Nil)
+    assert(TableCatalog.snapshot(table, 0).entries.forall(_.stats.isEmpty))
+    val all = TableCatalog.scan(spark, table)
+    val filtered = TableCatalog.scan(spark, table,
+      predicates = Seq(TableCatalog.LongBetween("fileId", 10L, 40L)))
+    // no bounds → no file pruning, but the residual row filter MUST apply
+    assert(filtered.inputFiles.length == all.inputFiles.length)
+    assert(filtered.count() == all.filter(col("fileId").between(10L, 40L)).count())
+    assert(filtered.count() < all.count())
+  }
+
+  test("truncated string bounds stay conservative (path > trunc width)") {
+    val table = freshTable()
+    val files = CodeTable.generate(spark,
+      GraphSpec(numCycles = 16, maxCycleLen = 5, extraArcsPerVertex = 0.3, seed = 23L))
+      .repartitionByRange(6, col("path"))
+    // `path` values ("src/f000000042.py") exceed the 16-char truncation
+    // width, so every recorded bound is truncated (lo) / truncated-and-
+    // incremented (hi) — pruning on them must still never drop a match
+    TableCatalog.commitAppend(spark, table, files, statsColumns = Seq("path"))
+    val all = TableCatalog.scan(spark, table)
+    // probe several ranges, including ones that straddle truncation points
+    for ((lo, hi) <- Seq(
+        ("src/f000000010", "src/f000000050z"),
+        ("src/f0000001", "src/f0000002"),
+        ("a", "zzz"))) {
+      val got = TableCatalog.scan(spark, table,
+        predicates = Seq(TableCatalog.StringBetween("path", lo, hi)))
+      assert(got.count() == all.filter(col("path").between(lo, hi)).count(),
+        s"range [$lo,$hi]")
+    }
+    // and at least one selective range actually prunes files
+    val sel = TableCatalog.scan(spark, table,
+      predicates = Seq(TableCatalog.StringBetween("path", "src/f000000010", "src/f000000050z")))
+    assert(sel.inputFiles.length < all.inputFiles.length)
+  }
+
   test("sha256 row invariant survives the catalog round-trip") {
     val table = freshTable()
     val files = CodeTable.generate(spark,
