@@ -353,7 +353,7 @@ object Scc {
       snapshotDir: Option[String] = None,
       edgesWithinVertices: Boolean = false,
       trimCapFraction: Double = 0.001,
-      trimCapMinRemaining: Long = 1000000L): SccRun = {
+      trimCapMinRemaining: Long = 1000000L): SccRun = graft.plans.Aqe.off(spark) {
     require(hopsPerStep >= 1)
     import spark.implicits._
     val arena = new CheckpointArena
