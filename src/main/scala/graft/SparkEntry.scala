@@ -381,7 +381,7 @@ object SparkEntry {
           .iterator().asScala.foreach(java.nio.file.Files.delete)
       }
       graft.sources.TableCatalog.commitOverwrite(s, Verify.auxStatsTablePath,
-        CodeTable.generate(s, spec).repartitionByRange(8, col("fileId")))
+        CodeTable.generate(s, spec), clusterBy = Seq("fileId"), clusterParts = 8)
       graft.sources.TableCatalog.scan(s, Verify.auxStatsTablePath,
         predicates = Seq(graft.sources.TableCatalog.LongBetween("fileId", 100L, 220L)))
         .select(col("fileId").as("file_id"), col("lang"), col("sha"))

@@ -187,26 +187,48 @@ object TableCatalog {
   /** Append `files` (CodeTable schema) as a new snapshot: new data files
     * under a fresh write prefix, manifest = base entries + new, CAS-claimed
     * id (see object doc). Returns the new snapshot id.
+    *
+    * `clusterBy` is the Iceberg sort-order analog: range-partition the
+    * commit's rows on the given columns before writing, so each data file
+    * covers a narrow value range and the recorded bounds become TIGHT —
+    * stats pruning then drops most files for a selective range predicate.
+    * Without clustering, bounds are still correct but typically span the
+    * whole domain (every file keeps every predicate), so stats pruning
+    * degrades to no-op. One extra range exchange per commit, amortized
+    * over every future pruned scan.
     */
   def commitAppend(spark: SparkSession, table: String, files: DataFrame,
-      statsColumns: Seq[String] = defaultStatsColumns): Int =
-    commit(spark, table, files, keepPrevious = true, statsColumns)
+      statsColumns: Seq[String] = defaultStatsColumns,
+      clusterBy: Seq[String] = Nil, clusterParts: Int = 0): Int =
+    commit(spark, table, files, keepPrevious = true, statsColumns, clusterBy,
+      clusterParts)
 
   /** Replace the table contents as a new snapshot (previous snapshots stay
     * readable — time travel — until [[expireSnapshots]] removes them). */
   def commitOverwrite(spark: SparkSession, table: String, files: DataFrame,
-      statsColumns: Seq[String] = defaultStatsColumns): Int =
-    commit(spark, table, files, keepPrevious = false, statsColumns)
+      statsColumns: Seq[String] = defaultStatsColumns,
+      clusterBy: Seq[String] = Nil, clusterParts: Int = 0): Int =
+    commit(spark, table, files, keepPrevious = false, statsColumns, clusterBy,
+      clusterParts)
 
   private def commit(
       spark: SparkSession, table: String, files: DataFrame,
-      keepPrevious: Boolean, statsColumns: Seq[String]): Int = {
+      keepPrevious: Boolean, statsColumns: Seq[String],
+      clusterBy: Seq[String], clusterParts: Int): Int = {
     // Data files first, under a commit-unique prefix: the expensive part
     // runs outside the commit race, and a failed/abandoned commit leaves
     // only unreferenced files (cleaned by maintenance), never a corrupt
     // table — Iceberg's write-then-commit order.
     val dataDir = Paths.get(table, "data", s"w-${java.util.UUID.randomUUID()}")
-    files.write.partitionBy("lang").parquet(dataDir.toString)
+    // explicit partition count when given: an AQE session otherwise
+    // coalesces a small range exchange down to one partition, collapsing
+    // the per-file ranges the clustering exists to create
+    val toWrite =
+      if (clusterBy.isEmpty) files
+      else if (clusterParts > 0)
+        files.repartitionByRange(clusterParts, clusterBy.map(col): _*)
+      else files.repartitionByRange(clusterBy.map(col): _*)
+    toWrite.write.partitionBy("lang").parquet(dataDir.toString)
     // enumerate exactly the files this write produced (bounded by this
     // commit's size, not table size)
     // per-file column bounds for the tracked columns: ONE aggregation over

@@ -151,6 +151,33 @@ class CatalogSpec extends SparkTest {
       all.filter(col("repo").between("repo00000", "repo00001")).count())
   }
 
+  test("clusterBy commit tightens bounds: clustered prunes, unclustered keeps all") {
+    val gen = CodeTable.generate(spark,
+      GraphSpec(numCycles = 32, maxCycleLen = 5, extraArcsPerVertex = 0.4, seed = 24L))
+    val pred = Seq(TableCatalog.LongBetween("fileId", 50L, 120L))
+
+    // unclustered: round-robin partitions → every file spans ~the whole
+    // fileId domain → bounds keep every file (correct, just no pruning)
+    val flat = freshTable()
+    TableCatalog.commitAppend(spark, flat, gen.repartition(8))
+    val flatAll = TableCatalog.scan(spark, flat)
+    val flatSel = TableCatalog.scan(spark, flat, predicates = pred)
+    assert(flatSel.inputFiles.length == flatAll.inputFiles.length)
+
+    // clustered on fileId: tight per-file ranges → most files pruned
+    val clus = freshTable()
+    TableCatalog.commitAppend(spark, clus, gen.repartition(8),
+      clusterBy = Seq("fileId"), clusterParts = 8)
+    val clusAll = TableCatalog.scan(spark, clus)
+    val clusSel = TableCatalog.scan(spark, clus, predicates = pred)
+    assert(clusSel.inputFiles.length < clusAll.inputFiles.length)
+
+    // same rows either way (and same as a plain post-filter)
+    val a = flatSel.select("fileId", "sha").collect().map(_.toString).sorted.toSeq
+    val b = clusSel.select("fileId", "sha").collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stats-less files are kept: predicate scan exact without bounds") {
     val table = freshTable()
     val files = CodeTable.generate(spark,
