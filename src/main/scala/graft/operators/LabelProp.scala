@@ -51,7 +51,7 @@ object LabelProp {
       edges: DataFrame,
       verts: DataFrame,
       seeds: DataFrame,
-      iterations: Int): LabelPropRun = graft.plans.Aqe.off(spark) {
+      iterations: Int): LabelPropRun = {
     require(iterations >= 1, "iterations must be >= 1")
     val arena = new CheckpointArena
 

@@ -51,7 +51,7 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 100,
       itersPerStep: Int = 1,
-      snapshotDir: Option[String] = None): PageRankRun = graft.plans.Aqe.off(spark) {
+      snapshotDir: Option[String] = None): PageRankRun = {
     require(itersPerStep >= 1)
 
     val n = vertices.count().toDouble

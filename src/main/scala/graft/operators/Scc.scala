@@ -353,7 +353,14 @@ object Scc {
       snapshotDir: Option[String] = None,
       edgesWithinVertices: Boolean = false,
       trimCapFraction: Double = 0.001,
-      trimCapMinRemaining: Long = 1000000L): SccRun = graft.plans.Aqe.off(spark) {
+      trimCapMinRemaining: Long = 1000000L): SccRun =
+    // Size-aware AQE policy (see [[graft.plans.Aqe]], [[graft.plans.Superstep]]):
+    // once the first materialization reveals a big graph, the whole run —
+    // trim sweeps, pivot election, BFS, epilogue — goes AQE-off (per-shuffle
+    // query-stage barriers are pure serial-floor latency when every
+    // partition is full); small graphs keep AQE's partition coalescing.
+    // scoped(): the previous setting is restored even on failure.
+    graft.plans.Aqe.scoped(spark) { aqeOffForRun =>
     require(hopsPerStep >= 1)
     import spark.implicits._
     val arena = new CheckpointArena
@@ -460,6 +467,7 @@ object Scc {
         assigned = parts.map(_.count()).sum
         live = arena.fresh(liveDf.repartition(col("id")))
         liveCount = lc
+        if (lc >= graft.plans.Superstep.aqeOffMinStateRows) aqeOffForRun()
         liveIdPart = true
         round = r + 1
         preTrimDone = false // conservatively run per-round trims
@@ -478,6 +486,7 @@ object Scc {
           coalesce(sum("oc"), lit(0L)), coalesce(max("oc"), lit(0L)),
           coalesce(max("ic"), lit(0L))).head()
         numEdges = statsRow.getLong(0)
+        if (numEdges >= graft.plans.Superstep.aqeOffMinStateRows) aqeOffForRun()
         fullMaxDegs = Some((statsRow.getLong(1), statsRow.getLong(2)))
         graft.Log.v(s"scc: edges materialized ($numEdges)")
         wholeGraphLocal = numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0

@@ -53,7 +53,7 @@ object Wcc {
       vertices: DataFrame,
       maxIter: Int = 50,
       roundsPerStep: Int = 1,
-      snapshotDir: Option[String] = None): WccRun = graft.plans.Aqe.off(spark) {
+      snapshotDir: Option[String] = None): WccRun = {
 
     val arena = new CheckpointArena
 

@@ -33,4 +33,16 @@ object Aqe {
     try f
     finally spark.conf.set(Key, prev)
   }
+
+  /** Deferred variant for operators that learn their input size mid-flight
+    * (Scc's edge count materializes with its first action): `f` receives a
+    * disable thunk to call once the size is known; the previous setting is
+    * restored on exit either way — including exceptions, so a failed run
+    * can never leak AQE-off into a shared session.
+    */
+  def scoped[T](spark: SparkSession)(f: (() => Unit) => T): T = {
+    val prev = spark.conf.get(Key, "true")
+    try f(() => spark.conf.set(Key, "false"))
+    finally spark.conf.set(Key, prev)
+  }
 }

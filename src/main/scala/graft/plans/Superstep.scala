@@ -53,11 +53,21 @@ final class Superstep(
       changedCol: Option[String] = None, changedMask: Option[Int] = None)(
       step: (DataFrame, Int) => DataFrame)(
       changedOf: DataFrame => Long): (DataFrame, Vector[StepMetrics]) = {
-    var state = arena.fresh(state0)
+    val (st0, state0Rows) = arena.freshCounted(state0)
+    var state = st0
     val metrics = Vector.newBuilder[StepMetrics]
-    var iter = startIter
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    // Size-aware AQE policy (see [[Aqe]]): on a BIG state every shuffle
+    // partition is full, so AQE's per-shuffle query-stage barrier is pure
+    // per-step serial-floor latency — off. On a SMALL state AQE's partition
+    // coalescing collapses the fixed-partition shuffles to a handful of
+    // tasks and wins big (blanket-off was measured 2.7× slower on the sf0.1
+    // q_wcc while 1.2× faster on the 15.3M-edge bench graph — round 4).
+    // The state0 row count rides the checkpoint materialization: free.
+    val aqeOff = state0Rows >= Superstep.aqeOffMinStateRows
+    def loop(): Unit = {
+      var iter = startIter
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
       // When the step exposes a changed-flag column (boolean, or bit-packed
       // int + changedMask), the convergence count rides the checkpoint
@@ -95,7 +105,9 @@ final class Superstep(
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
       iter += 1
+      }
     }
+    if (aqeOff) Aqe.off(spark)(loop()) else loop()
     (state, metrics.result())
   }
 
@@ -112,4 +124,17 @@ final class Superstep(
         .lastOption
         .map { case (i, path) => (spark.read.parquet(path), i + 1) }
     }
+}
+
+object Superstep {
+  /** State-size cutover for the per-loop AQE policy (see [[Superstep.run]]):
+    * loops whose initial state has at least this many rows run with AQE off
+    * (every shuffle partition is full — query-stage barriers are pure
+    * per-step latency); smaller loops keep AQE (partition coalescing
+    * collapses the fixed-partition shuffles). Row count is a proxy for
+    * work-per-step; 1M rows ≈ the point where 32 shuffle partitions stop
+    * being latency-bound on this box (BASELINE.md round-4 A/Bs both ways).
+    */
+  val aqeOffMinStateRows: Long =
+    sys.env.get("GRAFT_AQE_MIN_ROWS").map(_.toLong).getOrElse(1000000L)
 }
