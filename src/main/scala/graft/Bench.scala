@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -133,7 +135,9 @@ object Bench {
     */
   private final class StderrTraceFilter(real: java.io.PrintStream)
       extends java.io.OutputStream {
-    private val buf = new java.lang.StringBuilder
+    // bytes, decoded as UTF-8 per line — char-per-byte appends would mangle
+    // multi-byte sequences (ADVICE r4)
+    private val buf = new java.io.ByteArrayOutputStream
     private def traceLine(s: String): Boolean = {
       val t = s.stripLeading()
       t.startsWith("at ") || t.startsWith("Caused by:") || t.startsWith("... ") ||
@@ -141,24 +145,47 @@ object Bench {
       t.startsWith("org.apache.spark.SparkException: Job") ||
       t.startsWith("java.lang.InterruptedException")
     }
-    override def write(b: Int): Unit = synchronized {
-      if (b == '\n') {
-        val line = buf.toString; buf.setLength(0)
-        if (traceLine(line)) logTeardown("stderr-diverted", line)
-        else { real.println(line); real.flush() }
-      } else buf.append(b.toChar)
+    private def emit(): Unit = {
+      val line = buf.toString(StandardCharsets.UTF_8); buf.reset()
+      if (traceLine(line)) logTeardown("stderr-diverted", line)
+      else { real.println(line); real.flush() }
     }
+    override def write(b: Int): Unit = synchronized {
+      if (b == '\n') emit() else buf.write(b)
+    }
+    /** A final unterminated line must not die in the buffer (ADVICE r4). */
+    override def close(): Unit = synchronized { if (buf.size() > 0) emit() }
   }
 
   def main(args: Array[String]): Unit = {
-    System.setErr(new java.io.PrintStream(
-      new StderrTraceFilter(System.err), true, "UTF-8"))
+    val realErr = System.err
+    val filtered = new java.io.PrintStream(
+      new StderrTraceFilter(realErr), true, "UTF-8")
+    System.setErr(filtered)
+    sys.addShutdownHook(filtered.close()) // flush a trailing partial line
     // Threads with no reporter of their own (e.g. JVM-default handler paths)
-    // also land in the log, not stderr.
+    // land in the log; the MAIN thread's fatal exception is the run's
+    // failure reason and must also reach the real stderr (ADVICE r4) — the
+    // filter would otherwise leave a failed leg's exit code unexplained.
     Thread.setDefaultUncaughtExceptionHandler { (t, e) =>
       val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw))
       logTeardown(s"thread=${t.getName}", sw.toString)
+      if (t.getName == "main" || t.getId == 1L) realErr.println(s"[bench] FATAL: $e")
     }
+    // sbt invokes main reflectively (the uncaught handler never sees a main-
+    // thread failure), so mirror the fatal exception to the REAL stderr here
+    // and rethrow for the non-zero exit code.
+    try run(realErr)
+    catch {
+      case e: Throwable =>
+        val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw))
+        logTeardown("main-fatal", sw.toString)
+        realErr.println(s"[bench] FATAL: $e")
+        throw e
+    } finally filtered.close()
+  }
+
+  private def run(realErr: java.io.PrintStream): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)

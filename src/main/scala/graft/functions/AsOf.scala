@@ -90,10 +90,16 @@ object AsOf {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive; got $bucketWidth")
     val (u0, leftCols) = taggedUnion(left, right, keys, tsCol, seqCol, payload)
-    // exact floor division in the long domain (negative ts included):
-    // subtract the non-negative remainder first
+    // exact floor division ENTIRELY in the long domain (negative ts
+    // included): subtract the non-negative remainder, then integral `div` —
+    // truncating division of an exact multiple equals floor. (The previous
+    // double-division form was exact only for |ts| < 2^53 — nanosecond-scale
+    // timestamps exceed that; ADVICE r4.) Remaining edge: ts within
+    // bucketWidth of Long.MinValue underflows the subtraction — physically
+    // unreachable for any time encoding (negative 2^63 ns ≈ year −290),
+    // documented rather than guarded.
     val u = u0.withColumn("_bkt",
-      ((col(tsCol) - pmod(col(tsCol), lit(bucketWidth))) / lit(bucketWidth)).cast("long"))
+      expr(s"((`$tsCol` - pmod(`$tsCol`, $bucketWidth)) div $bucketWidth)"))
     val keyCols = keys.map(col)
     val wIn = Window.partitionBy(keyCols :+ col("_bkt"): _*)
       .orderBy(col(tsCol), col(seqCol))

@@ -97,14 +97,6 @@ object Similarity {
       .distinct()
   }
 
-  /** ANN top-k via SRP-LSH bucketing with multiprobe, re-ranked by exact
-    * cosine within candidates. Same output shape as [[bruteForceTopK]];
-    * recall < 1 by design — measured in tests.
-    * Scale: candidates per query ≈ corpus/2^planes × (1+probes); the join
-    * is an equi-join on bucket id, never a cross join, and each surviving
-    * pair is scored exactly once (candidates deduped before the vectors
-    * join back — multi-bucket collisions never repeat the dot product).
-    */
   /** Every LSH candidate scored by exact cosine at FULL precision — the
     * rerank input of [[lshTopK]], exposed so the driver oracle can hand off
     * (queryId, neighborId, cosine): DuckDB then verifies the cosine with
@@ -130,6 +122,14 @@ object Similarity {
       .select("queryId", "neighborId", "cosine")
   }
 
+  /** ANN top-k via SRP-LSH bucketing with multiprobe, re-ranked by exact
+    * cosine within candidates. Same output shape as [[bruteForceTopK]];
+    * recall < 1 by design — measured in tests.
+    * Scale: candidates per query ≈ corpus/2^planes × (1+probes); the join
+    * is an equi-join on bucket id, never a cross join, and each surviving
+    * pair is scored exactly once (candidates deduped before the vectors
+    * join back — multi-bucket collisions never repeat the dot product).
+    */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 8, probes: Int = 4,

@@ -141,8 +141,12 @@ object TableCatalog {
     s"""{"path":${jstr(e.path)},"lang":${jstr(e.lang)}$stats}"""
   }
 
+  // path/lang are written jstr-escaped, so they must be parsed with the
+  // escaped-string pattern (the old [^"]+ form silently dropped any entry
+  // whose path or lang contained '"' or '\' — a scan would then MISS
+  // committed files with no error; ADVICE r4) and unescaped via junstr.
   private val lineRe =
-    """\{"path":"([^"]+)","lang":"([^"]+)"(?:,"stats":\[(.*)\])?\}""".r
+    """\{"path":"((?:[^"\\]|\\.)+)","lang":"((?:[^"\\]|\\.)+)"(?:,"stats":\[(.*)\])?\}""".r
   private val boundsRe =
     """\{"col":"([^"]+)","type":"(long|string)","lo":(null|"(?:[^"\\]|\\.)*"),"hi":(null|"(?:[^"\\]|\\.)*")\}""".r
 
@@ -164,6 +168,21 @@ object TableCatalog {
       else -1
     var id = hinted
     while (Files.exists(manifestFile(table, id + 1))) id += 1
+    // Hint-gap fallback (ADVICE r4): a racing older committer can regress
+    // the hint by more than one id; if retention then deleted the hinted
+    // manifest AND its successor, the forward probe stops inside the
+    // expired gap and misses the newer committed snapshots. Recover with
+    // ONE bounded listing of the METADATA dir (a handful of snap-N.json
+    // files — never the data tree).
+    if (id >= 0 && !Files.exists(manifestFile(table, id))) {
+      val snapRe = """snap-(\d+)\.json""".r
+      val dir = metaDir(table)
+      id =
+        if (!Files.isDirectory(dir)) -1
+        else Files.list(dir).iterator().asScala
+          .flatMap(p => snapRe.unapplySeq(p.getFileName.toString).map(_.head.toInt))
+          .foldLeft(-1)(math.max)
+    }
     id
   }
 
@@ -172,15 +191,20 @@ object TableCatalog {
     require(Files.exists(f),
       s"table $table has no snapshot $id (expired or never committed)")
     val lines = Files.readAllLines(f).asScala
-    Snapshot(id, lines.toSeq.collect { case lineRe(p, l, statsBlob) =>
-      val stats = Option(statsBlob).toSeq.flatMap { blob =>
-        boundsRe.findAllMatchIn(blob).map { m =>
-          m.group(1) -> ColBounds(
-            parseBound(m.group(3)), parseBound(m.group(4)),
-            isLong = m.group(2) == "long")
-        }
-      }.toMap
-      ManifestEntry(p, l, stats)
+    Snapshot(id, lines.toSeq.filter(_.nonEmpty).map {
+      case lineRe(p, l, statsBlob) =>
+        val stats = Option(statsBlob).toSeq.flatMap { blob =>
+          boundsRe.findAllMatchIn(blob).map { m =>
+            m.group(1) -> ColBounds(
+              parseBound(m.group(3)), parseBound(m.group(4)),
+              isLong = m.group(2) == "long")
+          }
+        }.toMap
+        ManifestEntry(junstr(p), junstr(l), stats)
+      // a manifest line this reader can't parse means missing FILES, not a
+      // smaller table — fail loudly, never silently scan a subset
+      case bad => throw new IllegalStateException(
+        s"unparsable manifest entry in $f: $bad")
     })
   }
 
