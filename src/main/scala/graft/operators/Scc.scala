@@ -124,17 +124,34 @@ object Scc {
     * row/dead counts riding the materialization action. Extra `verts`
     * columns (e.g. `pivot`) ride along unchanged.
     */
-  private def buildTrimDegrees(
-      arena: CheckpointArena, edges: DataFrame, verts: DataFrame): (DataFrame, Long, Long) = {
+  private def trimDegreesPlan(edges: DataFrame, verts: DataFrame): DataFrame = {
     val carry = verts.columns.filter(_ != "id").toSeq
-    arena.freshFlagged(
-      verts
-        .join(degreesOf(edges), Seq("id"), "left")
-        .select((col("id") +: carry.map(col)) ++ Seq(
-          coalesce(col("oc"), lit(0L)).as("oc"),
-          coalesce(col("ic"), lit(0L)).as("ic")): _*)
-        .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
-      "dead")
+    verts
+      .join(degreesOf(edges), Seq("id"), "left")
+      .select((col("id") +: carry.map(col)) ++ Seq(
+        coalesce(col("oc"), lit(0L)).as("oc"),
+        coalesce(col("ic"), lit(0L)).as("ic")): _*)
+      .withColumn("dead", col("oc") <= 0 || col("ic") <= 0)
+  }
+
+  private def buildTrimDegrees(
+      arena: CheckpointArena, edges: DataFrame, verts: DataFrame): (DataFrame, Long, Long) =
+    arena.freshFlagged(trimDegreesPlan(edges, verts), "dead")
+
+  /** [[buildTrimDegrees]] that also rides the whole-graph phase stats on the
+    * SAME materialization action (accumulators — zero extra jobs): Σoc =
+    * edge total, max(oc)/max(ic) = full-graph max degrees. The previous
+    * separate one-row agg job ran on EVERY components() call (VERDICT r4);
+    * all three values gate heuristics only (local-solve routing, AQE
+    * policy, the salting gate), which is exactly the accumulator retry
+    * contract.
+    */
+  private def buildTrimDegreesWithStats(
+      arena: CheckpointArena, edges: DataFrame, verts: DataFrame):
+      ((DataFrame, Long, Long), (Long, Long, Long)) = {
+    val (df, n, dead, sums, maxes) = arena.freshFlaggedWithLongStats(
+      trimDegreesPlan(edges, verts), "dead", Seq("oc", "ic"))
+    ((df, n, dead), (sums(0), maxes(0), maxes(1)))
   }
 
   /** Degree-decrement trim-1 fixpoint (`trimming_kernel`/`trimming`,
@@ -269,7 +286,13 @@ object Scc {
     */
   private final class Snapshots(spark: SparkSession, dir: String) {
     private val manifest = java.nio.file.Paths.get(dir, "scc.manifest.jsonl")
-    private var written = 0
+    // Fragments are tracked by IDENTITY, not by list position: compaction
+    // replaces many fragments with one new frame, so the current fragment
+    // list is not append-only — each manifest line records the file indices
+    // of the round's CURRENT list, and only never-written frames cost a
+    // parquet write.
+    private val fileIdx = new java.util.IdentityHashMap[DataFrame, Integer]()
+    private var nextIdx = 0
 
     private def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -282,14 +305,18 @@ object Scc {
     def writeRound(round: Int, live: DataFrame, liveCount: Long,
         parts: Seq[DataFrame]): Unit = {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      (written until parts.size).foreach { i =>
-        parts(i).write.mode("overwrite").parquet(s"$dir/scc.part_$i")
+      parts.foreach { p =>
+        if (!fileIdx.containsKey(p)) {
+          p.write.mode("overwrite").parquet(s"$dir/scc.part_$nextIdx")
+          fileIdx.put(p, nextIdx)
+          nextIdx += 1
+        }
       }
-      written = parts.size
+      val idxs = parts.map(fileIdx.get(_).intValue)
       val livePath = s"$dir/scc.live_$round"
       live.write.mode("overwrite").parquet(livePath)
       java.nio.file.Files.writeString(manifest,
-        s"""{"round":$round,"liveCount":$liveCount,"nParts":$written,"live":${jstr(livePath)}}""" + "\n",
+        s"""{"round":$round,"liveCount":$liveCount,"parts":[${idxs.mkString(",")}],"live":${jstr(livePath)}}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
 
@@ -297,19 +324,23 @@ object Scc {
     def resume(): Option[(DataFrame, Seq[DataFrame], Int, Long)] = {
       if (!java.nio.file.Files.exists(manifest)) return None
       val re =
-        """"round":(\d+),"liveCount":(\d+),"nParts":(\d+),"live":"([^"]+)"""".r.unanchored
+        """"round":(\d+),"liveCount":(\d+),"parts":\[([0-9,]*)\],"live":"([^"]+)"""".r.unanchored
       scala.jdk.CollectionConverters
         .ListHasAsScala(java.nio.file.Files.readAllLines(manifest)).asScala
         .flatMap {
-          case re(r, lc, np, lp) => Some((r.toInt, lc.toLong, np.toInt, lp))
+          case re(r, lc, idxs, lp) => Some((r.toInt, lc.toLong, idxs, lp))
           case _ => None
         }
         .lastOption
-        .map { case (r, lc, np, lp) =>
-          written = np
-          (spark.read.parquet(lp),
-            (0 until np).map(i => spark.read.parquet(s"$dir/scc.part_$i")).toSeq,
-            r, lc)
+        .map { case (r, lc, idxs, lp) =>
+          val ids = if (idxs.isEmpty) Seq.empty else idxs.split(',').toSeq.map(_.toInt)
+          val parts = ids.map { i =>
+            val df = spark.read.parquet(s"$dir/scc.part_$i")
+            fileIdx.put(df, i)
+            df
+          }
+          nextIdx = (ids :+ -1).max + 1
+          (spark.read.parquet(lp), parts, r, lc)
         }
     }
   }
@@ -353,7 +384,8 @@ object Scc {
       snapshotDir: Option[String] = None,
       edgesWithinVertices: Boolean = false,
       trimCapFraction: Double = 0.001,
-      trimCapMinRemaining: Long = 1000000L): SccRun =
+      trimCapMinRemaining: Long = 1000000L,
+      fragmentCompactionThreshold: Int = 64): SccRun =
     // Size-aware AQE policy (see [[graft.plans.Aqe]], [[graft.plans.Superstep]]):
     // once the first materialization reveals a big graph, the whole run —
     // trim sweeps, pivot election, BFS, epilogue — goes AQE-off (per-shuffle
@@ -406,6 +438,9 @@ object Scc {
     // checkpointed pieces backing lazy (id, comp) fragments — must outlive
     // the arena alongside the fragments themselves
     val partBacking = mutable.ArrayBuffer[DataFrame]()
+    // COMPACTED fragment frames (each one self-contained and bounded to
+    // shuffle-partition width) — see maybeCompactFragments below
+    val compactedParts = mutable.ArrayBuffer[DataFrame]()
     val metrics = Vector.newBuilder[RoundMetrics]
     val snaps = snapshotDir.map(new Snapshots(spark, _))
 
@@ -419,6 +454,33 @@ object Scc {
     // input vertex count before returning.
     var assigned = 0L
     var expectedTotal = 0L
+    // ---- fragment compaction (VERDICT r4 #8): a chain-of-SCCs-shaped graph
+    // can legitimately run many rounds/sweeps, each appending fragments, and
+    // the result is their lazy union — O(rounds + sweeps) plan width. Once
+    // the PENDING list exceeds the threshold, union+checkpoint it into ONE
+    // id-partitioned frame (bounded to shuffle-partition width) and release
+    // the lazy fragments' backing frames; compacted frames accumulate in
+    // `compactedParts` and are never re-compacted (re-shuffling already-
+    // settled rows every trigger would cost O(V · rounds/threshold) total),
+    // so the final plan stays O(threshold + rounds/threshold) wide. The
+    // exactness tally is re-asserted per compaction: the checkpoint's ridden
+    // count must equal the pending fragments' tallied rows.
+    var compactedRows = 0L
+    def maybeCompactFragments(): Unit =
+      if (assignedParts.size > fragmentCompactionThreshold) {
+        val pendingRows = assigned - compactedRows
+        val (compacted, cnt) = arena.freshCounted(
+          assignedParts.reduce(_.unionByName(_)).repartition(col("id")))
+        require(cnt == pendingRows,
+          s"compacted fragment rows $cnt != pending tally $pendingRows — assignment bug")
+        (assignedParts ++ partBacking).foreach(arena.release)
+        assignedParts.clear()
+        partBacking.clear()
+        compactedParts += compacted
+        compactedRows = assigned
+        graft.Log.v(s"scc: compacted fragments into frame ${compactedParts.size} " +
+          s"($cnt rows)")
+      }
     // whether the global trim phase is complete (fixpoint or adaptive cap)
     // — used to skip the then-redundant round-0 trim, see below
     var preTrimDone = true
@@ -478,16 +540,13 @@ object Scc {
         // one-pass explode degree aggregation ([[degreesOf]]) — the round-3
         // phase paid a separate count job plus the dst copy's full exchange
         // here, the two terms its (8,32) anti-scaling was made of.
-        val init = buildTrimDegrees(arena, eBySrc, verts)
-        // exact phase stats from the checkpointed V-row frame (one cheap
-        // cached-scan job): Σoc = edge total; full-graph max degrees feed
-        // the salting gate.
-        val statsRow = init._1.agg(
-          coalesce(sum("oc"), lit(0L)), coalesce(max("oc"), lit(0L)),
-          coalesce(max("ic"), lit(0L))).head()
-        numEdges = statsRow.getLong(0)
+        val (init, degStats) = buildTrimDegreesWithStats(arena, eBySrc, verts)
+        // phase stats rode the materialization accumulators — no separate
+        // agg job (VERDICT r4 #6): Σoc = edge total; full-graph max degrees
+        // feed the salting gate.
+        numEdges = degStats._1
         if (numEdges >= graft.plans.Superstep.aqeOffMinStateRows) aqeOffForRun()
-        fullMaxDegs = Some((statsRow.getLong(1), statsRow.getLong(2)))
+        fullMaxDegs = Some((degStats._2, degStats._3))
         graft.Log.v(s"scc: edges materialized ($numEdges)")
         wholeGraphLocal = numEdges <= localSolveEdgeThreshold && localSolveEdgeThreshold > 0
         if (wholeGraphLocal) {
@@ -513,6 +572,9 @@ object Scc {
         assigned += preTrimmed
         graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweeps sweeps" +
           (if (preDone) "" else " (maxTrimSweeps cap hit)"))
+        // a peel-heavy graph can exceed the fragment threshold (and retain
+        // one O(V) survivor frame per sweep) inside the pre-trim alone
+        maybeCompactFragments()
 
         // Round-0 pivot: the live vertex maximizing live-degree product
         // (in×out), ties to min id — the standard FW-BW pivot heuristic
@@ -1024,8 +1086,9 @@ object Scc {
         s"pair=$pairTrimmed bfs=$bfsSteps sccRows=$sccRows live=$liveCount")
       metrics += RoundMetrics(round, localSolved, trimmedTotal, pairTrimmed, bfsSteps,
         sccRows, liveCount)
+      maybeCompactFragments()
       snaps.foreach(_.writeRound(round, live.select("id", "pivot"), liveCount,
-        assignedParts.toSeq))
+        (compactedParts ++ assignedParts).toSeq))
       round += 1
     }
     require(liveCount == 0, s"SCC did not converge in $maxOuter rounds ($liveCount live)")
@@ -1038,10 +1101,11 @@ object Scc {
 
     // The parts are already materialized; the result is their lazy union —
     // re-checkpointing it here would be one more full O(V) pass for nothing.
+    val allParts = (compactedParts ++ assignedParts).toSeq
     val result =
-      if (assignedParts.isEmpty) verts.select(col("id"), col("id").as("comp")).limit(0)
-      else assignedParts.reduce(_.unionByName(_))
-    arena.closeExcept((assignedParts ++ partBacking).toSeq: _*)
+      if (allParts.isEmpty) verts.select(col("id"), col("id").as("comp")).limit(0)
+      else allParts.reduce(_.unionByName(_))
+    arena.closeExcept((allParts ++ partBacking).toSeq: _*)
     eBySrc.unpersist(false)
     eByDstCell.foreach(_.unpersist(false))
     new SccRun(result, metrics.result(), assigned, () => arena.closeExcept())

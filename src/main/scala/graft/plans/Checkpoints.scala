@@ -38,6 +38,20 @@ final class CheckpointArena {
     (out, n, flagged)
   }
 
+  /** [[freshFlagged]] that also rides sum+max aggregates over the given
+    * LongType columns on the same pass: (frame, rows, flagged, sums, maxes).
+    * Stats gate heuristics only — see the retry contract in
+    * [[GraftShims.checkpointFreshFlaggedWithLongStats]].
+    */
+  def freshFlaggedWithLongStats(
+      df: DataFrame, flagCol: String, statCols: Seq[String]):
+      (DataFrame, Long, Long, Array[Long], Array[Long]) = {
+    val (out, rdd, n, flagged, sums, maxes) =
+      GraftShims.checkpointFreshFlaggedWithLongStats(df, flagCol, statCols)
+    backing.put(out, rdd)
+    (out, n, flagged, sums, maxes)
+  }
+
   /** [[freshFlagged]] over a bit-packed IntegerType status column: flagged
     * when `(value & mask) != 0`.
     */

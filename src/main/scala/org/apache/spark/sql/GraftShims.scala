@@ -83,6 +83,83 @@ object GraftShims {
     flaggedImpl(df, flagCol, r => !r.isNullAt(idx) && (r.getInt(idx) & mask) != 0)
   }
 
+  /** Max-of-longs accumulator (Spark ships none): retry-safe by idempotence
+    * of max — unlike the sum accumulators, a replayed task cannot change
+    * the result.
+    */
+  private final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long] {
+    private var _max = Long.MinValue
+    override def isZero: Boolean = _max == Long.MinValue
+    override def copy(): MaxAccumulator = {
+      val a = new MaxAccumulator; a._max = _max; a
+    }
+    override def reset(): Unit = _max = Long.MinValue
+    override def add(v: java.lang.Long): Unit = _max = math.max(_max, v)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long]): Unit =
+      _max = math.max(_max, other.value)
+    override def value: java.lang.Long = _max
+  }
+
+  /** [[checkpointFreshFlagged]] that ADDITIONALLY rides per-column sum and
+    * max over the given LongType columns on the same materialization pass —
+    * one driver action yields the frame, its row/flagged counts, and the
+    * aggregate stats an algorithm needs to pick its strategy (e.g. SCC's
+    * edge total and full-graph max degrees, previously a separate agg job
+    * on every call). Null column values count as 0 toward the sum and are
+    * skipped for the max. Same retry contract as the flag accumulator:
+    * sums can overcount on task replay and must gate only heuristics
+    * (thresholds, logging), never results; maxes are replay-safe.
+    * Returns (frame, rdd, totalRows, flaggedRows, sums, maxes).
+    */
+  def checkpointFreshFlaggedWithLongStats(
+      df: DataFrame, flagCol: String, statCols: Seq[String]):
+      (DataFrame, RDD[InternalRow], Long, Long, Array[Long], Array[Long]) = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    val flagIdx = df.schema.fieldIndex(flagCol)
+    val statIdx = statCols.map(df.schema.fieldIndex).toArray
+    statIdx.foreach { i =>
+      require(df.schema(i).dataType == org.apache.spark.sql.types.LongType,
+        s"stat column ${df.schema(i).name} must be LongType")
+    }
+    val flagAcc = session.sparkContext.longAccumulator(s"graft.flagged.$flagCol")
+    val sumAccs = statCols.map(c =>
+      session.sparkContext.longAccumulator(s"graft.sum.$c")).toArray
+    val maxAccs = statCols.map { c =>
+      val a = new MaxAccumulator
+      session.sparkContext.register(a, s"graft.max.$c")
+      a
+    }.toArray
+    val rdd = qe.toRdd.map { r =>
+      if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) flagAcc.add(1L)
+      var i = 0
+      while (i < statIdx.length) {
+        if (!r.isNullAt(statIdx(i))) {
+          val v = r.getLong(statIdx(i))
+          sumAccs(i).add(v)
+          maxAccs(i).add(v)
+        }
+        i += 1
+      }
+      r.copy()
+    }
+    rdd.persist(ckptLevel)
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val physical = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+    val logical = LogicalRDD(
+      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
+    (classic.Dataset.ofRows(session, logical), rdd, n, flagAcc.value,
+      sumAccs.map(_.value.longValue),
+      maxAccs.map(a => math.max(0L, a.value.longValue)))
+  }
+
   private def flaggedImpl(
       df: DataFrame, flagCol: String,
       flagged: InternalRow => Boolean): (DataFrame, RDD[InternalRow], Long, Long) = {

@@ -324,6 +324,62 @@ class SccSpec extends SparkTest {
     assert(leaked.isEmpty, s"blocks remaining after acceptedRun release: $leaked")
   }
 
+  test("fragment compaction: chain-of-SCCs graph keeps the result plan narrow") {
+    // 16 mutual pairs chained by arcs — many FW-BW rounds, each appending
+    // fragments; threshold 2 forces compaction nearly every round
+    val k = 16
+    val edges = (0 until k).flatMap { i =>
+      val a = 2L * i; val b = a + 1
+      Seq((a, b), (b, a)) ++ (if (i < k - 1) Seq((b, a + 2)) else Nil)
+    }
+    val vertices = 0L until (2L * k)
+    val expected = Oracle.tarjan(vertices, edges)
+    val run = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+      localSolveEdgeThreshold = 0, fragmentCompactionThreshold = 2)
+    assert(run.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == expected)
+    // the result union stays O(threshold + compactions) wide — without
+    // compaction this graph yields well over 10 fragment leaves
+    val leaves = run.components.queryExecution.logical.collectLeaves().size
+    assert(leaves <= 8, s"result plan has $leaves leaves — compaction didn't bound it")
+    run.release()
+  }
+
+  test("fragment compaction: peel-heavy path graph compacts inside the pre-trim") {
+    // a 60-vertex path peels 2 endpoints per trim sweep → ~30 sweeps, all
+    // singleton fragments appended before round 0
+    val edges = (0L until 59L).map(i => (i, i + 1))
+    val vertices = 0L to 59L
+    val expected = Oracle.tarjan(vertices, edges)
+    val run = Scc.components(spark, edgesDf(edges), vertsDf(vertices),
+      maxTrimSweeps = 100, localSolveEdgeThreshold = 0,
+      fragmentCompactionThreshold = 2)
+    assert(run.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == expected)
+    val leaves = run.components.queryExecution.logical.collectLeaves().size
+    assert(leaves <= 4, s"result plan has $leaves leaves — pre-trim compaction didn't run")
+    run.release()
+  }
+
+  test("resume + compaction: identity-tracked snapshot parts survive a restart") {
+    val edges = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      (40L until 80L).map(i => (i, if (i == 79) 40L else i + 1)) :+ (7L, 44L)
+    val vertices = 0L until 80L
+    val e = edgesDf(edges)
+    val v = vertsDf(vertices)
+    val dir = java.nio.file.Files.createTempDirectory("scc_resume_compact_").toString
+    intercept[IllegalArgumentException] {
+      Scc.components(spark, e, v, maxOuter = 1, localSolveEdgeThreshold = 0,
+        snapshotDir = Some(dir), fragmentCompactionThreshold = 1)
+    }
+    val run = Scc.components(spark, e, v, localSolveEdgeThreshold = 0,
+      snapshotDir = Some(dir), fragmentCompactionThreshold = 1)
+    val expected = Oracle.tarjan(vertices, edges)
+    assert(run.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == expected)
+    assert(run.metrics.head.round > 0, run.metrics.toString)
+  }
+
   test("kill-between-rounds resume: snapshot manifest restores the outer loop") {
     // two cycles joined by an arc need two FW-BW rounds when nothing routes
     // to the local solver: round 0 finds the pivot's SCC, round 1 the rest.
