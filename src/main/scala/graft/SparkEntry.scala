@@ -388,6 +388,40 @@ object SparkEntry {
         .orderBy("file_id")
     }),
 
+    // ---- catalog: schema evolution (Iceberg id-based column mapping).
+    // snap-0 commits the base table; renameColumn(repo→repository) and
+    // addColumn(stars bigint) evolve the schema; a second batch appends
+    // files written under the NEW schema. The scan must reconcile both
+    // file generations to the current schema by FIELD ID — old files
+    // serve `repository` from their physical `repo` bytes and project
+    // `stars` as null. The oracle reads ALL data files union_by_name and
+    // mirrors the fid mapping with coalesce(repository, repo) — a
+    // reconciliation bug (wrong mapping, missed null fill, dropped-column
+    // resurrection) is a hash mismatch.
+    "q_catalog_evolve" -> ((s, _) => {
+      val t = Verify.auxEvolveTablePath
+      val dir = java.nio.file.Paths.get(t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val spec = GraphSpec(numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L)
+      graft.sources.TableCatalog.commitOverwrite(s, t, CodeTable.generate(s, spec))
+      graft.sources.TableCatalog.renameColumn(t, "repo", "repository")
+      graft.sources.TableCatalog.addColumn(t, "stars", "bigint")
+      val batch2 = CodeTable.generate(s,
+          GraphSpec(numCycles = 48, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 11L))
+        .withColumn("fileId", col("fileId") + 100000L) // disjoint ids → stable sort
+        .withColumnRenamed("repo", "repository")
+        .withColumn("stars", col("fileId") % 50)
+      graft.sources.TableCatalog.commitAppend(s, t, batch2)
+      graft.sources.TableCatalog.scan(s, t)
+        .select(col("fileId").as("file_id"), col("repository"), col("stars"),
+          col("lang"), col("sha"))
+        .orderBy("file_id")
+    }),
+
     // Seeded label propagation over the import-edge graph: every 10th file
     // carries its language as a clamped seed label; 3 synchronous
     // majority-of-in-neighbors rounds (min-label tie-break) spread it along
@@ -466,6 +500,18 @@ object SparkEntry {
         |FROM read_parquet('${Verify.auxStatsTablePath}/data/w-*/lang=*/*.parquet',
         |                  hive_partitioning = true)
         |WHERE fileId BETWEEN 100 AND 220
+        |ORDER BY file_id""".stripMargin,
+
+    // Schema-evolution hand-off: DuckDB reads BOTH file generations
+    // union_by_name (old files surface `repo` + null `repository`/`stars`;
+    // new files the inverse) and reconstructs the fid mapping as
+    // coalesce(repository, repo) — the catalog scan's id-based
+    // reconciliation must produce exactly these rows.
+    "q_catalog_evolve" ->
+      s"""SELECT fileId AS file_id, coalesce(repository, repo) AS repository,
+        |  stars, lang, sha
+        |FROM read_parquet('${Verify.auxEvolveTablePath}/data/w-*/lang=*/*.parquet',
+        |                  hive_partitioning = true, union_by_name = true)
         |ORDER BY file_id""".stripMargin,
 
     // Signature hand-off (Verify.auxSimhashSigsPath): brute-force hamming

@@ -34,6 +34,13 @@ object Verify {
     * return exactly the matching rows. */
   val auxStatsTablePath = "/root/repo/target/verify_aux/catalog_stats_table"
 
+  /** TableCatalog table written by q_catalog_evolve: base commit under
+    * schema 0, rename+add evolution, second append under the evolved
+    * schema; the scan reconciles both file generations by field id, the
+    * oracle reads ALL data files union_by_name and mirrors the mapping
+    * with coalesce(new, old). */
+  val auxEvolveTablePath = "/root/repo/target/verify_aux/catalog_evolve_table"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

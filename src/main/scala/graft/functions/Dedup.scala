@@ -145,21 +145,26 @@ object Dedup {
     *
     * `blocks` trades table count against bucket size: key width ≈
     * r·64/B bits, table count C(B, r).
-    *   - Default (blocks = maxDistance+1, r = 1): d+1 tables with
-    *     64/(d+1)-bit keys — the right choice for d ≤ 6 (key ≥ 9 bits).
-    *   - d in [7, 15]: keys of the default scheme degrade below 8 bits
+    *   - blocks = maxDistance+1 (r = 1): d+1 tables with 64/(d+1)-bit
+    *     keys — the right choice for d ≤ 6 (key ≥ 9 bits).
+    *   - d in [7, 15]: keys of the r = 1 scheme degrade below 8 bits
     *     (buckets toward all-pairs); pick B > d+1 so r ≥ 2, e.g. d = 10,
     *     B = 12 → C(12,2) = 66 tables with ~10-bit keys: candidate volume
-    *     ≈ 66·n²/2¹⁰ vs the default's 11·n²/2⁵ — ~5× fewer candidates,
-    *     and B = 14 (364 tables, ~18-bit keys) another ~50× down. Recall
+    *     ≈ 66·n²/2¹⁰ vs r=1's 11·n²/2⁵ — ~5× fewer candidates, and
+    *     B = 14 (364 tables, ~18-bit keys) another ~50× down. Recall
     *     stays exactly 1 for every valid (B, r) — only cost varies.
+    *
+    * `blocks = 0` (the default) AUTO-PICKS via [[simhashAutoBlocks]]: the
+    * smallest B whose guaranteed key width clears ~10 bits under the table
+    * guard — identical to d+1 for d ≤ 6, and the scale path (r ≥ 2) for
+    * d ≥ 7 without the caller reading any of the above.
     */
   def simhashDuplicates(
       docs: DataFrame, id: Column, text: Column, maxDistance: Int = 3,
       blocks: Int = 0): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 15,
       s"maxDistance must be in [0,15]; got $maxDistance")
-    val nBlocks = if (blocks == 0) maxDistance + 1 else blocks
+    val nBlocks = if (blocks == 0) simhashAutoBlocks(maxDistance) else blocks
     require(nBlocks > maxDistance && nBlocks <= 32,
       s"blocks must be in (maxDistance, 32]; got $nBlocks (d=$maxDistance)")
     val comb = nBlocks - maxDistance
@@ -196,6 +201,23 @@ object Dedup {
       .select(col("a"), col("b"), hamming(col("sigA"), col("sigB")).as("distance"))
       .distinct()
       .filter(col("distance") <= maxDistance)
+  }
+
+  /** Default block count for [[simhashDuplicates]]: the smallest B in
+    * (d, 32] whose GUARANTEED key width (r blocks × the narrowest block,
+    * r = B − d) is ≥ 9 bits with C(B, r) inside the 4096-table guard —
+    * so buckets stay ≤ n/2⁹ in expectation instead of degrading toward
+    * all-pairs. Reproduces B = d+1 exactly for d ≤ 6 (where r = 1 already
+    * clears 9 bits) and switches to the multi-table scheme above it:
+    * d=7→B=9 (36 tables), d=10→B=12 (66), d=15→B=18 (816).
+    */
+  def simhashAutoBlocks(maxDistance: Int): Int = {
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+    (maxDistance + 1 to 32).find { b =>
+      val r = b - maxDistance
+      r * (64 / b) >= 9 && choose(b, r) <= 4096
+    }.getOrElse(maxDistance + 1)
   }
 
   // ---------- embedding cosine ----------

@@ -101,6 +101,77 @@ object Multimodal {
     }
   }
 
+  /** Standalone JPEG/PNG still-image codec — the common multimodal input —
+    * via the JDK's own javax.imageio (the same zero-dependency machinery
+    * the AVI MJPG path uses; headless-safe). Decode re-emits a raw-RGB
+    * [[Ppm.Image]], so every existing image operator (features, resize,
+    * frame dedup) composes over bare JPEG/PNG columns unchanged; encode
+    * goes back to PNG (lossless) or JPEG (lossy). [[decodeAny]] sniffs the
+    * magic bytes, so an `image` column may mix all three formats freely.
+    */
+  object StillImage {
+    /** Magic-byte sniff: `ppm` (P6), `jpeg` (FF D8 FF), `png` (89 'PNG'). */
+    def format(bytes: Array[Byte]): Option[String] =
+      if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
+        Some("ppm")
+      else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+        Some("jpeg")
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+        Some("png")
+      else None
+
+    /** Decode any supported still format (P6 passes through its own
+      * parser; JPEG/PNG via imageio) to top-down raw RGB. */
+    def decodeAny(bytes: Array[Byte]): Ppm.Image = format(bytes) match {
+      case Some("ppm") => Ppm.decode(bytes)
+      case Some(_) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "undecodable image bytes")
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val o = (y * w + x) * 3
+            px(o) = ((p >> 16) & 0xff).toByte
+            px(o + 1) = ((p >> 8) & 0xff).toByte
+            px(o + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Ppm.Image(w, h, px)
+      case None => throw new IllegalArgumentException(
+        "unrecognized image format (P6 PPM, JPEG, PNG supported)")
+    }
+
+    /** Encode raw RGB as `png` (lossless round-trip) or `jpg` (lossy). */
+    def encode(img: Ppm.Image, fmt: String = "png"): Array[Byte] = {
+      require(Set("png", "jpg", "jpeg").contains(fmt), s"unsupported format $fmt")
+      val bi = new java.awt.image.BufferedImage(
+        img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val o = (y * img.width + x) * 3
+          bi.setRGB(x, y,
+            ((img.pixels(o) & 0xff) << 16) | ((img.pixels(o + 1) & 0xff) << 8) |
+              (img.pixels(o + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+  }
+
   /** RIFF/WAVE codec, PCM 16-bit little-endian — the canonical header
     * layout: `RIFF<size>WAVE`, an `fmt ` chunk (audioFormat=1, channels,
     * sampleRate, ...), then a `data` chunk of interleaved i16 samples.
@@ -437,7 +508,8 @@ object Multimodal {
       it.map { a =>
         a.kind match {
           case "image" =>
-            val img = Ppm.decode(a.bytes)
+            // sniffing handles P6/JPEG/PNG uniformly in one column
+            val img = StillImage.decodeAny(a.bytes)
             DecodedAsset(a.assetId, a.kind, img.width, img.height, 1, a.bytes)
           case "audio" =>
             val au = Wav.decode(a.bytes)
@@ -463,7 +535,7 @@ object Multimodal {
         val v = new Array[Float](d)
         a.kind match {
           case "image" =>
-            val img = Ppm.decode(a.bytes)
+            val img = StillImage.decodeAny(a.bytes)
             var i = 0
             while (i + 2 < img.pixels.length) {
               // integer Rec.601-ish luminance
@@ -520,7 +592,8 @@ object Multimodal {
 
   /** Resize images to fit `maxDim`: REAL pixel-level nearest-neighbor
     * resample, re-encoded as P6 (decode → transform → re-encode, the full
-    * column shape). Non-images pass through with metadata untouched.
+    * column shape; JPEG/PNG inputs normalize to P6 on the way through).
+    * Non-images pass through with metadata untouched.
     */
   def resize(decoded: Dataset[DecodedAsset], maxDim: Int): Dataset[DecodedAsset] = {
     import decoded.sparkSession.implicits._
@@ -528,7 +601,7 @@ object Multimodal {
       it.map { a =>
         if (a.kind != "image") a
         else {
-          val out = Ppm.resize(Ppm.decode(a.bytes), maxDim)
+          val out = Ppm.resize(StillImage.decodeAny(a.bytes), maxDim)
           a.copy(width = out.width, height = out.height, bytes = Ppm.encode(out))
         }
       }

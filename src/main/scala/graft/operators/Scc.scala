@@ -170,11 +170,14 @@ object Scc {
     * path leaves the dst copy unbuilt. Removed vertices are appended to
     * `assignedParts`
     * as (id, comp = id) fragments — LAZY filters over the sweep's already-
-    * materialized degree frame, which goes to `partBacking` instead of
-    * being released: one driver action per sweep, not two. (The retention
-    * trade: up to `sweeps` survivor-frames stay cached until the run's
-    * release; bounded by the adaptive cap below and MEMORY_AND_DISK
-    * storage, and freed by [[SccRun.release]].)
+    * materialized degree frame, which backs them instead of being
+    * released: one driver action per sweep, not two. Retention is BOUNDED
+    * (not just deferred): every `compactEvery` sweeps the pending
+    * fragments union into one compact frame and their O(remaining)
+    * backers are freed, so a peel-heavy graph below `capMinRemaining` —
+    * where the adaptive cap never engages and ~maxSweeps sweeps are
+    * legitimate — holds at most `compactEvery` survivor frames at a time
+    * instead of one per sweep.
     *
     * Adaptive sweep cap (the measured serial floor of the sf0.1 bench run
     * was this loop — 29% of wall, mostly tail sweeps removing a trickle):
@@ -212,6 +215,34 @@ object Scc {
     var removedTotal = 0L
     var sweep = 0
     var capped = false
+    // Sweep-local fragment buffers with their own compaction guard (VERDICT
+    // r4): each sweep's lazy `removed` fragment pins the FULL O(remaining)
+    // survivor frame it filters, and a peel-heavy graph BELOW
+    // `capMinRemaining` (where the adaptive cap never engages) legitimately
+    // runs many sweeps — up to maxSweeps × O(V) cached rows if retention
+    // waited for the caller's round-level compaction. Every `compactEvery`
+    // sweeps the pending fragments union into ONE compact (id, comp) frame
+    // (rows ≤ removed-so-far, usually ≪ V) and the heavyweight backers are
+    // released; compacted frames are never re-compacted here (same
+    // rationale as the round-level mechanism). The caller's tally is
+    // unaffected — same rows, fewer frames.
+    val compactEvery = 8
+    val localParts = mutable.ArrayBuffer[DataFrame]()
+    val localBacking = mutable.ArrayBuffer[DataFrame]()
+    val localCompacted = mutable.ArrayBuffer[DataFrame]()
+    var localPendingRows = 0L
+    def compactLocal(): Unit = if (localParts.size >= compactEvery) {
+      val (compacted, cnt) = arena.freshCounted(
+        localParts.reduce(_.unionByName(_)).repartition(col("id")))
+      require(cnt == localPendingRows,
+        s"trim compaction rows $cnt != pending tally $localPendingRows — trim bug")
+      localBacking.foreach(arena.release)
+      localParts.clear()
+      localBacking.clear()
+      localCompacted += compacted
+      localPendingRows = 0L
+      graft.Log.v(s"trim: compacted $cnt removed rows into one frame")
+    }
     while (deadCnt > 0 && sweep < maxSweeps && !capped) {
       graft.Log.v(s"trim sweep $sweep: dead=$deadCnt remaining=$remaining")
       if (remaining > capMinRemaining && deadCnt < remaining * capFraction) {
@@ -220,8 +251,9 @@ object Scc {
       // removed rides the already-materialized degs frame: a lazy filter
       // (no extra driver action); degs itself becomes the fragment backing.
       val removed = degs.filter(col("dead")).select("id")
-      partBacking += degs
-      assignedParts += removed.select(col("id"), col("id").as("comp"))
+      localBacking += degs
+      localParts += removed.select(col("id"), col("id").as("comp"))
+      localPendingRows += deadCnt
       // Decrement counters of the removed set's neighbors. Typical sweep:
       // removed is small → ONE pass over one edge copy with two broadcast
       // hash probes emits both decrement directions (the naive form scanned
@@ -263,14 +295,22 @@ object Scc {
             col("ic") - coalesce(col("dIn"), lit(0L))): _*)
           .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
         "dead")
-      // degs NOT released: it backs this sweep's removed fragment
+      // degs NOT released: it backs this sweep's removed fragment (until
+      // compactLocal materializes the fragment and frees it)
       removedTotal += deadCnt
       degs = next._1
       remaining = next._2
       deadCnt = next._3
       sweep += 1
+      // safe point: `next` is materialized, so every frame in localBacking
+      // is superseded except as a fragment backer — exactly what compaction
+      // removes the need for
+      compactLocal()
       }
     }
+    assignedParts ++= localCompacted
+    assignedParts ++= localParts
+    partBacking ++= localBacking
     (degs, remaining, removedTotal, sweep, deadCnt == 0 || capped)
   }
 

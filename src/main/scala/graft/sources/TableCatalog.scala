@@ -53,7 +53,18 @@ import org.apache.spark.sql.functions._
   *   - **Snapshot retention**: [[expireSnapshots]] drops all but the newest
   *     `keepLast` snapshots and deletes exactly the data files referenced
   *     only by expired manifests — computed from metadata (expired ∖
-  *     retained entry sets), no directory walk.
+  *     retained entry sets), no directory walk. [[removeOrphans]] is the
+  *     complementary maintenance pass for files NO manifest references
+  *     (failed/abandoned commits), age-guarded so in-flight commits survive.
+  *   - **Schema evolution**: [[addColumn]]/[[renameColumn]]/[[dropColumn]]
+  *     commit a new schema version through the same CAS; columns carry
+  *     Iceberg-style FIELD IDS, and [[scan]] reconciles every file to the
+  *     current schema by fid — renamed columns read their write-time
+  *     physical name, later-added columns project as typed nulls, dropped
+  *     columns disappear even though the bytes remain. Stats pruning
+  *     follows the fid too, so a rename never disables pruning on old
+  *     files. Plan width grows O(#schema versions among matching files),
+  *     never O(#files).
   *
   * Partitioning is by `lang` (the natural low-cardinality predicate column,
   * same as [[CodeTable.writePartitioned]]); row-group min/max pushdown
@@ -70,9 +81,44 @@ object TableCatalog {
     * incremented). `isLong` selects numeric vs lexicographic comparison.
     */
   final case class ColBounds(lo: Option[String], hi: Option[String], isLong: Boolean)
+
+  /** One column of a table schema. `fid` is the Iceberg-style FIELD ID: the
+    * stable identity a column keeps across renames — data files are
+    * reconciled to the current schema by fid, never by name (Iceberg spec
+    * §Schemas and Data Types / §Column Projection). `dtype` is the Spark
+    * catalog type string (`bigint`, `string`, …).
+    */
+  final case class Field(fid: Int, name: String, dtype: String)
+
+  /** One version of the table schema. Schemas are immutable; every
+    * evolution commits a NEW schema with a fresh id, and each data file
+    * remembers (via its manifest entry's `sid`) which schema it was written
+    * under.
+    */
+  final case class TableSchema(id: Int, fields: Seq[Field]) {
+    def byFid: Map[Int, Field] = fields.map(f => f.fid -> f).toMap
+    def byName: Map[String, Field] = fields.map(f => f.name -> f).toMap
+  }
+
+  /** `schemaId` = id of the schema the file was written under; -1 for
+    * entries committed before the table had schema tracking (read as the
+    * table's first schema).
+    */
   final case class ManifestEntry(path: String, lang: String,
-      stats: Map[String, ColBounds] = Map.empty)
-  final case class Snapshot(id: Int, entries: Seq[ManifestEntry])
+      stats: Map[String, ColBounds] = Map.empty, schemaId: Int = -1)
+
+  /** `schemas` is empty for legacy (pre-evolution) manifests: scans then
+    * behave exactly as before schema tracking existed. */
+  final case class Snapshot(id: Int, entries: Seq[ManifestEntry],
+      schemas: Seq[TableSchema] = Nil, currentSchemaId: Int = -1) {
+    def currentSchema: Option[TableSchema] = schemas.find(_.id == currentSchemaId)
+    /** The schema a given entry's file was written under (legacy entries map
+      * to the FIRST schema — they predate tracking, so the first recorded
+      * schema is by construction the shape they were written with). */
+    def schemaOf(e: ManifestEntry): Option[TableSchema] =
+      if (e.schemaId >= 0) schemas.find(_.id == e.schemaId)
+      else schemas.sortBy(_.id).headOption
+  }
 
   /** Range predicate for stats-based file pruning (inclusive both ends). */
   sealed trait StatPredicate { def column: String }
@@ -132,13 +178,31 @@ object TableCatalog {
   private def jOptStr(v: Option[String]): String = v.fold("null")(jstr)
 
   private def entryLine(e: ManifestEntry): String = {
+    val sid = if (e.schemaId >= 0) s""","sid":${e.schemaId}""" else ""
     val stats =
       if (e.stats.isEmpty) ""
       else e.stats.toSeq.sortBy(_._1).map { case (c, b) =>
         s"""{"col":${jstr(c)},"type":"${if (b.isLong) "long" else "string"}",""" +
           s""""lo":${jOptStr(b.lo)},"hi":${jOptStr(b.hi)}}"""
       }.mkString(""","stats":[""", ",", "]")
-    s"""{"path":${jstr(e.path)},"lang":${jstr(e.lang)}$stats}"""
+    s"""{"path":${jstr(e.path)},"lang":${jstr(e.lang)}$sid$stats}"""
+  }
+
+  /** Manifest HEADER line (first line when the table tracks schemas): the
+    * full schema history plus the current schema id. Self-contained per
+    * manifest — a snapshot read never needs a second metadata file, and
+    * retention can delete old manifests without orphaning schema info.
+    * Size is O(#schema versions × #columns): schema evolutions are rare,
+    * human-initiated events, so this stays tiny even at 10^12 data files.
+    */
+  private def headerLine(schemas: Seq[TableSchema], currentSchemaId: Int): String = {
+    val ss = schemas.sortBy(_.id).map { s =>
+      val fs = s.fields.map(f =>
+        s"""{"fid":${f.fid},"name":${jstr(f.name)},"type":${jstr(f.dtype)}}""")
+        .mkString("[", ",", "]")
+      s"""{"id":${s.id},"fields":$fs}"""
+    }.mkString("[", ",", "]")
+    s"""{"currentSchemaId":$currentSchemaId,"schemas":$ss}"""
   }
 
   // path/lang are written jstr-escaped, so they must be parsed with the
@@ -146,9 +210,15 @@ object TableCatalog {
   // whose path or lang contained '"' or '\' — a scan would then MISS
   // committed files with no error; ADVICE r4) and unescaped via junstr.
   private val lineRe =
-    """\{"path":"((?:[^"\\]|\\.)+)","lang":"((?:[^"\\]|\\.)+)"(?:,"stats":\[(.*)\])?\}""".r
+    """\{"path":"((?:[^"\\]|\\.)+)","lang":"((?:[^"\\]|\\.)+)"(?:,"sid":(\d+))?(?:,"stats":\[(.*)\])?\}""".r
   private val boundsRe =
     """\{"col":"([^"]+)","type":"(long|string)","lo":(null|"(?:[^"\\]|\\.)*"),"hi":(null|"(?:[^"\\]|\\.)*")\}""".r
+  private val headerRe =
+    """\{"currentSchemaId":(\d+),"schemas":\[(.*)\]\}""".r
+  private val schemaRe =
+    """\{"id":(\d+),"fields":\[(.*?)\]\}""".r
+  private val fieldRe =
+    """\{"fid":(\d+),"name":"((?:[^"\\]|\\.)+)","type":"((?:[^"\\]|\\.)+)"\}""".r
 
   private def parseBound(v: String): Option[String] =
     if (v == "null") None else Some(junstr(v.substring(1, v.length - 1)))
@@ -190,9 +260,20 @@ object TableCatalog {
     val f = manifestFile(table, id)
     require(Files.exists(f),
       s"table $table has no snapshot $id (expired or never committed)")
-    val lines = Files.readAllLines(f).asScala
-    Snapshot(id, lines.toSeq.filter(_.nonEmpty).map {
-      case lineRe(p, l, statsBlob) =>
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    val (schemas, curSchema, entryLines) = lines.headOption match {
+      case Some(headerRe(cur, blob)) =>
+        val ss = schemaRe.findAllMatchIn(blob).map { m =>
+          TableSchema(m.group(1).toInt,
+            fieldRe.findAllMatchIn(m.group(2)).map(fm =>
+              Field(fm.group(1).toInt, junstr(fm.group(2)), junstr(fm.group(3))))
+              .toSeq)
+        }.toSeq
+        (ss, cur.toInt, lines.tail)
+      case _ => (Nil, -1, lines) // legacy manifest: entries only
+    }
+    Snapshot(id, entryLines.map {
+      case lineRe(p, l, sid, statsBlob) =>
         val stats = Option(statsBlob).toSeq.flatMap { blob =>
           boundsRe.findAllMatchIn(blob).map { m =>
             m.group(1) -> ColBounds(
@@ -200,12 +281,13 @@ object TableCatalog {
               isLong = m.group(2) == "long")
           }
         }.toMap
-        ManifestEntry(junstr(p), junstr(l), stats)
+        ManifestEntry(junstr(p), junstr(l), stats,
+          Option(sid).map(_.toInt).getOrElse(-1))
       // a manifest line this reader can't parse means missing FILES, not a
       // smaller table — fail loudly, never silently scan a subset
       case bad => throw new IllegalStateException(
         s"unparsable manifest entry in $f: $bad")
-    })
+    }, schemas, curSchema)
   }
 
   /** Append `files` (CodeTable schema) as a new snapshot: new data files
@@ -239,10 +321,21 @@ object TableCatalog {
       spark: SparkSession, table: String, files: DataFrame,
       keepPrevious: Boolean, statsColumns: Seq[String],
       clusterBy: Seq[String], clusterParts: Int): Int = {
+    // Fail fast on a schema mismatch BEFORE the expensive data write (the
+    // in-loop check below remains the authoritative one — this pre-check
+    // just avoids leaking a full commit's worth of orphan files on the
+    // common mistake).
+    val preId = currentSnapshotId(table)
+    if (preId >= 0) snapshot(table, preId).currentSchema.foreach { cur =>
+      require(files.columns.toSet == cur.fields.map(_.name).toSet,
+        s"commit columns ${files.columns.sorted.mkString(",")} must match the " +
+          s"table's current schema ${cur.fields.map(_.name).sorted.mkString(",")} " +
+          s"(evolve the schema first — addColumn/renameColumn/dropColumn)")
+    }
     // Data files first, under a commit-unique prefix: the expensive part
     // runs outside the commit race, and a failed/abandoned commit leaves
-    // only unreferenced files (cleaned by maintenance), never a corrupt
-    // table — Iceberg's write-then-commit order.
+    // only unreferenced files (collected by [[removeOrphans]]), never a
+    // corrupt table — Iceberg's write-then-commit order.
     val dataDir = Paths.get(table, "data", s"w-${java.util.UUID.randomUUID()}")
     // explicit partition count when given: an AQE session otherwise
     // coalesces a small range exchange down to one partition, collapsing
@@ -311,11 +404,32 @@ object TableCatalog {
       require(attempts <= 1000, s"commit to $table lost the CAS race 1000 times")
       val prev = currentSnapshotId(table)
       val next = prev + 1
+      val prevSnap = if (prev >= 0) Some(snapshot(table, prev)) else None
+      // Schema tracking: carry the table's schema history forward; a table
+      // without one yet (new, or committed by a pre-evolution writer) gets
+      // schema 0 derived from this commit's DataFrame, fids by position.
+      // Recomputed INSIDE the loop: a rebase may reveal a schema evolution
+      // committed by the racing writer, and this commit's columns must
+      // match the schema current at the id it actually claims.
+      val (schemas, curId) = prevSnap match {
+        case Some(s) if s.schemas.nonEmpty => (s.schemas, s.currentSchemaId)
+        case _ =>
+          (Seq(TableSchema(0, files.schema.fields.toSeq.zipWithIndex.map {
+            case (f, i) => Field(i + 1, f.name, f.dataType.catalogString)
+          })), 0)
+      }
+      val cur = schemas.find(_.id == curId).getOrElse(throw new IllegalStateException(
+        s"table $table: current schema id $curId not in manifest"))
+      require(files.columns.toSet == cur.fields.map(_.name).toSet,
+        s"commit columns ${files.columns.sorted.mkString(",")} must match the " +
+          s"table's current schema ${cur.fields.map(_.name).sorted.mkString(",")} " +
+          s"(evolve the schema first — addColumn/renameColumn/dropColumn)")
+      val stamped = written.map(_.copy(schemaId = curId))
       val carried =
-        if (keepPrevious && prev >= 0) snapshot(table, prev).entries else Seq.empty
+        if (keepPrevious) prevSnap.map(_.entries).getOrElse(Seq.empty) else Seq.empty
       val tmp = metaDir(table).resolve(s"snap-$next.tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp,
-        (carried ++ written).map(entryLine)
+        (headerLine(schemas, curId) +: (carried ++ stamped).map(entryLine))
           .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       try {
         // commit point: hard-link is create-if-absent-atomic on POSIX —
@@ -326,12 +440,93 @@ object TableCatalog {
         case _: FileAlreadyExistsException => // lost the race: rebase, retry
       } finally Files.deleteIfExists(tmp)
     }
-    // advisory fast-path hint (readers probe forward, so a racing older
-    // committer overwriting this with a smaller id is harmless)
+    writeHint(table, committed)
+    committed
+  }
+
+  /** Advisory fast-path hint swap (readers probe forward, so a racing older
+    * committer overwriting this with a smaller id is harmless). */
+  private def writeHint(table: String, id: Int): Unit = {
     val tmp = metaDir(table).resolve(s"version-hint.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, committed.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintFile(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- schema evolution (Iceberg spec §Schema Evolution) ----------------
+  //
+  // Each operation is a METADATA-ONLY commit: same entries, a new schema
+  // appended to the history, claimed through the same manifest CAS as a
+  // data commit — so an evolution races safely against concurrent appends
+  // (one of them rebases and retries). Columns keep their identity across
+  // renames via the field id; a dropped-then-re-added name gets a FRESH
+  // fid, so data written under the dropped column never resurrects.
+
+  /** Add a nullable column (existing files read it as null). `dtype` is a
+    * Spark catalog type string (`bigint`, `string`, `double`, …). */
+  def addColumn(table: String, name: String, dtype: String): Int = {
+    org.apache.spark.sql.types.DataType.fromDDL(dtype) // validate eagerly
+    evolveSchema(table) { (schemas, cur) =>
+      require(name != "lang", "lang is the partition column and cannot be evolved")
+      require(!cur.fields.exists(_.name == name), s"column $name already exists")
+      // fid allocation scans ALL schemas ever, never just the current one:
+      // re-adding a dropped name must mint a new identity
+      val fid = schemas.flatMap(_.fields.map(_.fid)).max + 1
+      cur.fields :+ Field(fid, name, dtype)
+    }
+  }
+
+  /** Rename a column; files written under the old name keep serving it
+    * (mapped by fid). */
+  def renameColumn(table: String, from: String, to: String): Int =
+    evolveSchema(table) { (_, cur) =>
+      require(from != "lang" && to != "lang",
+        "lang is the partition column and cannot be evolved")
+      require(cur.fields.exists(_.name == from), s"no column $from to rename")
+      require(!cur.fields.exists(_.name == to), s"column $to already exists")
+      cur.fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    }
+
+  /** Drop a column. The bytes stay in old data files; scans stop projecting
+    * them, and new commits must not include the column. */
+  def dropColumn(table: String, name: String): Int =
+    evolveSchema(table) { (_, cur) =>
+      require(name != "lang", "lang is the partition column and cannot be evolved")
+      require(cur.fields.exists(_.name == name), s"no column $name to drop")
+      require(cur.fields.size > 1, "cannot drop the last column")
+      cur.fields.filterNot(_.name == name)
+    }
+
+  private def evolveSchema(table: String)(
+      xform: (Seq[TableSchema], TableSchema) => Seq[Field]): Int = {
+    var attempts = 0
+    var committed = -1
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 1000, s"schema evolution on $table lost the CAS race 1000 times")
+      val prev = currentSnapshotId(table)
+      require(prev >= 0, s"cannot evolve schema of $table: no snapshots (commit data first)")
+      val snap = snapshot(table, prev)
+      require(snap.schemas.nonEmpty,
+        s"table $table has no schema metadata (written by a pre-evolution " +
+          "version); append once with the current writer to establish schema 0")
+      val cur = snap.currentSchema.getOrElse(throw new IllegalStateException(
+        s"table $table: current schema id ${snap.currentSchemaId} not in manifest"))
+      val newId = snap.schemas.map(_.id).max + 1
+      val schemas = snap.schemas :+ TableSchema(newId, xform(snap.schemas, cur))
+      val next = prev + 1
+      val tmp = metaDir(table).resolve(s"snap-$next.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp,
+        (headerLine(schemas, newId) +: snap.entries.map(entryLine))
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(manifestFile(table, next), tmp)
+        committed = next
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race: rebase, retry
+      } finally Files.deleteIfExists(tmp)
+    }
+    writeHint(table, committed)
     committed
   }
 
@@ -366,14 +561,17 @@ object TableCatalog {
   }
 
   /** True iff the file's recorded bounds show it CANNOT contain a row
-    * matching `p`. Missing stats / missing column / type mismatch ⇒ might
-    * match (keep): pruning is only ever a subset of a correct scan.
+    * matching `p`. `statName` is the column name the file's stats were
+    * recorded under (differs from `p.column` across a rename — translated
+    * by fid in [[scan]]). Missing stats / missing column / type mismatch ⇒
+    * might match (keep): pruning is only ever a subset of a correct scan.
     * Truncated string bounds stay conservative by construction (a truncated
     * lower bound is ≤ every true value; a truncated-then-incremented upper
     * bound is ≥ every true value).
     */
-  private def cannotMatch(stats: Map[String, ColBounds], p: StatPredicate): Boolean =
-    stats.get(p.column).exists { b =>
+  private def cannotMatch(
+      stats: Map[String, ColBounds], p: StatPredicate, statName: String): Boolean =
+    stats.get(statName).exists { b =>
       p match {
         case LongBetween(_, lo, hi) if b.isLong =>
           b.lo.exists(_.toLong > hi) || b.hi.exists(_.toLong < lo)
@@ -409,28 +607,133 @@ object TableCatalog {
       predicates: Seq[StatPredicate] = Nil): DataFrame = {
     val id = snapshotId.getOrElse(currentSnapshotId(table))
     require(id >= 0, s"table $table has no snapshots")
-    val entries = snapshot(table, id).entries
+    val snap = snapshot(table, id)
     val langPruned = langs match {
-      case Some(ls) => entries.filter(e => ls.contains(e.lang))
-      case None => entries
+      case Some(ls) => snap.entries.filter(e => ls.contains(e.lang))
+      case None => snap.entries
     }
-    val pruned = langPruned.filterNot(e => predicates.exists(cannotMatch(e.stats, _)))
+    // Stats lookup under the name the file's commit RECORDED: a predicate
+    // on a since-renamed column still prunes old files — the current name
+    // maps to the fid, the fid to the file-schema name. No mapping (legacy
+    // / untracked) falls back to the current name.
+    def recordedName(e: ManifestEntry, column: String): String =
+      (for {
+        cur <- snap.currentSchema
+        f <- cur.byName.get(column)
+        fs <- snap.schemaOf(e)
+        pf <- fs.byFid.get(f.fid)
+      } yield pf.name).getOrElse(column)
+    val pruned = langPruned.filterNot(e =>
+      predicates.exists(p => cannotMatch(e.stats, p, recordedName(e, p.column))))
     val residual = predicates.map {
       case LongBetween(c, lo, hi) => col(c).between(lo, hi)
       case StringBetween(c, lo, hi) => col(c).between(lo, hi)
     }.reduceOption(_ && _)
-    val base =
-      if (pruned.isEmpty) {
-        // empty selection: preserve the schema without reading data
-        CodeTable.schemaOnly(spark)
-      } else {
-        spark.read.parquet(pruned.map(_.path): _*)
-          .withColumn("lang",
-            regexp_extract(input_file_name(), "lang=([^/]+)/", 1))
-      }
+    val base = snap.currentSchema match {
+      case None => // legacy table (no schema tracking): original single-relation read
+        if (pruned.isEmpty) CodeTable.schemaOnly(spark)
+        else readFiles(spark, pruned.map(_.path))
+      case Some(cur) =>
+        // Schema reconciliation: ONE relation per distinct write-schema
+        // among the matching files (plan width O(#schema evolutions) —
+        // rare human events — never O(#files) or O(#partition values)),
+        // each projected to the current schema by fid: renamed columns
+        // read their physical name, later-added columns fill with null.
+        val groups = pruned.groupBy(e => snap.schemaOf(e).map(_.id).getOrElse(-1))
+        if (groups.isEmpty) emptyOfSchema(spark, cur)
+        else groups.toSeq.sortBy(_._1).map { case (sid, es) =>
+          projectTo(readFiles(spark, es.map(_.path)), cur,
+            snap.schemas.find(_.id == sid))
+        }.reduce(_ union _)
+    }
     // stats pruning only shrinks the FILE list; the row-level predicate must
     // still run (a kept file may contain non-matching rows) — this is what
     // makes the scan exact whether or not any file carries bounds.
     residual.fold(base)(base.where)
+  }
+
+  private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+      .withColumn("lang", regexp_extract(input_file_name(), "lang=([^/]+)/", 1))
+
+  /** Project a file group (read under its write-time physical schema) to
+    * the table's current schema, mapping columns by FIELD ID. `lang` is the
+    * path-recovered partition column and maps to itself (evolution ops
+    * refuse to touch it). A fid with no physical source (column added after
+    * these files were written) projects as typed null.
+    */
+  private def projectTo(
+      df: DataFrame, cur: TableSchema, fileSchema: Option[TableSchema]): DataFrame = {
+    val physByFid = fileSchema.getOrElse(cur).byFid
+    val cols = cur.fields.map { f =>
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(f.dtype)
+      if (f.name == "lang") col("lang")
+      else physByFid.get(f.fid) match {
+        case Some(pf) => col(pf.name).cast(dt).as(f.name)
+        case None => lit(null).cast(dt).as(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  private def emptyOfSchema(spark: SparkSession, cur: TableSchema): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          f.name, org.apache.spark.sql.types.DataType.fromDDL(f.dtype)))))
+
+  /** Delete data files referenced by NO manifest — the one leak the
+    * write-then-commit order allows: a failed/abandoned committer's
+    * `data/w-<uuid>/` files are invisible to every reader and were never
+    * collected ([[expireSnapshots]] only deletes expired-manifest
+    * references). Maintenance, not a read path: it takes the one full
+    * `data/` listing orphan collection inherently requires (Iceberg's
+    * deleteOrphanFiles does the same), and only touches files older than
+    * `olderThanMillis`, so a commit IN FLIGHT (data written, manifest not
+    * yet linked) is never collected — Iceberg's orphan GC uses the same
+    * age guard. Per write-prefix: a `w-<uuid>/` tree with zero referenced
+    * files is removed whole (markers included); a live tree only loses
+    * unreferenced `*.parquet` stragglers (e.g. from a task retry), never
+    * its markers. Returns the number of files deleted.
+    */
+  def removeOrphans(table: String, olderThanMillis: Long = 24L * 3600 * 1000): Int = {
+    val dataDir = Paths.get(table, "data")
+    if (!Files.isDirectory(dataDir)) return 0
+    val snapRe = """snap-(\d+)\.json""".r
+    val md = metaDir(table)
+    val ids =
+      if (!Files.isDirectory(md)) Seq.empty[Int]
+      else Files.list(md).iterator().asScala
+        .flatMap(p => snapRe.unapplySeq(p.getFileName.toString).map(_.head.toInt))
+        .toSeq
+    val referenced = ids.flatMap(id => snapshot(table, id).entries.map(e =>
+      Paths.get(e.path).toAbsolutePath.normalize.toString)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val all = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p)).toSeq // materialize before mutating
+    val byPrefix = all.groupBy { p =>
+      // group by the w-<uuid> commit prefix (files directly under data/
+      // group by themselves — not produced by this writer, handled per-file)
+      val rel = dataDir.relativize(p)
+      if (rel.getNameCount > 1) dataDir.resolve(rel.getName(0)) else p
+    }
+    var deleted = 0
+    byPrefix.foreach { case (_, files) =>
+      val (live, rest) = files.partition(p =>
+        referenced.contains(p.toAbsolutePath.normalize.toString))
+      val victims =
+        if (live.isEmpty) rest // fully-orphaned commit: take markers too
+        else rest.filter(_.toString.endsWith(".parquet"))
+      victims.filter(p => Files.getLastModifiedTime(p).toMillis < cutoff).foreach { p =>
+        if (Files.deleteIfExists(p)) deleted += 1
+        // tidy now-empty lang=/w-<uuid> dirs (best-effort; ignore non-empty)
+        try {
+          var d = p.getParent
+          while (d != null && d != dataDir && Files.deleteIfExists(d)) d = d.getParent
+        } catch { case _: java.nio.file.DirectoryNotEmptyException => }
+      }
+    }
+    deleted
   }
 }

@@ -121,13 +121,20 @@ object EventStream {
     * Streaming's symmetric hash join supports; the watermark on BOTH sides
     * plus the interval bound lets Spark evict join state older than
     * watermark − maxLag, so state stays bounded on an unbounded stream.
-    * Inner join, append mode. Both inputs may be the same stream (a
-    * stream self-join) — [[viewsBeforePurchases]] below splits one event
-    * stream by type.
+    * Append mode. Both inputs may be the same stream (a stream self-join) —
+    * [[viewsBeforePurchases]] below splits one event stream by type.
+    *
+    * `joinType = "left_outer"` keeps unmatched purchases: once the
+    * watermark proves no view can still arrive inside the interval
+    * (views-side watermark past `purchase_ts`), the purchase emits with
+    * null view columns — the attribution use-case's "purchase with no
+    * prior view" rows, which the inner form silently drops. Same state
+    * bounds as the inner join (Spark supports outer stream-stream joins
+    * exactly when the watermark + time constraint make eviction provable).
     */
   def viewsBeforePurchases(
       events: DataFrame, maxLag: String = "15 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val base = events.withColumn("ts", col("ts").cast("timestamp"))
     val purchases = base.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -140,7 +147,8 @@ object EventStream {
     purchases.join(views,
       col("user_id") === col("view_user") &&
         col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxLag"))
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxLag"),
+      joinType)
       .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts", "value")
   }
 

@@ -190,6 +190,17 @@ object GraftShims {
     (classic.Dataset.ofRows(session, logical), rdd, n, acc.value)
   }
 
+  /** Drain the listener bus so a task-metrics snapshot taken right after a
+    * timed region includes every stage that completed inside it — stage
+    * events post asynchronously and can otherwise land after the snapshot
+    * (the bench's per-leg taskSec/cpuSec/gcSec attribution relies on this).
+    * Best-effort: a timeout leaves the snapshot slightly short, never wrong
+    * in sign.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty(30000L)
+    catch { case _: Throwable => () }
+
   def checkpointFresh(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val qe = df.queryExecution

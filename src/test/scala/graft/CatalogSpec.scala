@@ -220,6 +220,112 @@ class CatalogSpec extends SparkTest {
     assert(sel.inputFiles.length < all.inputFiles.length)
   }
 
+  test("schema evolution: rename/add/drop reconcile old files by field id") {
+    val table = freshTable()
+    val base = CodeTable.generate(spark,
+      GraphSpec(numCycles = 8, maxCycleLen = 4, extraArcsPerVertex = 0.3, seed = 31L))
+    TableCatalog.commitAppend(spark, table, base)                       // snap 0
+    TableCatalog.renameColumn(table, "repo", "repository")              // snap 1
+    TableCatalog.addColumn(table, "stars", "bigint")                    // snap 2
+    val batch2 = CodeTable.generate(spark,
+      GraphSpec(numCycles = 8, maxCycleLen = 4, extraArcsPerVertex = 0.3, seed = 32L))
+      .withColumn("fileId", col("fileId") + 1000000L)
+      .withColumnRenamed("repo", "repository")
+      .withColumn("stars", col("fileId") % 7)
+    TableCatalog.commitAppend(spark, table, batch2)                     // snap 3
+
+    val unified = TableCatalog.scan(spark, table)
+    assert(unified.columns.contains("repository") && !unified.columns.contains("repo"))
+    assert(unified.columns.last == "stars")
+    assert(unified.count() == base.count() + batch2.count())
+    // old files serve `repository` from their physical `repo` bytes (fid map)
+    val oldGot = unified.filter(col("fileId") < 1000000L)
+      .select("fileId", "repository").collect().map(_.toString).sorted.toSeq
+    val oldWant = base.select(col("fileId"), col("repo"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(oldGot == oldWant && oldGot.nonEmpty)
+    // a later-added column projects as null for old files, real for new
+    assert(unified.filter(col("fileId") < 1000000L && col("stars").isNotNull).count() == 0)
+    assert(unified.filter(col("fileId") >= 1000000L &&
+      (col("stars") =!= col("fileId") % 7)).count() == 0)
+    // time travel respects the schema AT that snapshot
+    val snap0 = TableCatalog.scan(spark, table, snapshotId = Some(0))
+    assert(snap0.columns.contains("repo") && !snap0.columns.contains("stars"))
+
+    // drop: bytes stay in the files, scans stop projecting the column
+    TableCatalog.dropColumn(table, "content")                           // snap 4
+    assert(!TableCatalog.scan(spark, table).columns.contains("content"))
+    // re-add under the same name: FRESH fid — dropped data must not resurrect
+    TableCatalog.addColumn(table, "content", "string")                  // snap 5
+    val readded = TableCatalog.scan(spark, table)
+    assert(readded.columns.contains("content"))
+    assert(readded.filter(col("content").isNotNull).count() == 0,
+      "dropped column resurrected through a re-added name")
+  }
+
+  test("stats pruning follows the field id across a rename") {
+    val table = freshTable()
+    val gen = CodeTable.generate(spark,
+      GraphSpec(numCycles = 32, maxCycleLen = 5, extraArcsPerVertex = 0.4, seed = 25L))
+    // cluster on repo so the per-file repo bounds are tight
+    TableCatalog.commitAppend(spark, table, gen,
+      statsColumns = Seq("fileId", "repo"), clusterBy = Seq("repo"), clusterParts = 6)
+    TableCatalog.renameColumn(table, "repo", "repository")
+    val all = TableCatalog.scan(spark, table)
+    val sel = TableCatalog.scan(spark, table,
+      predicates = Seq(TableCatalog.StringBetween("repository", "repo00000", "repo00001")))
+    // the file stats were recorded under "repo"; the predicate names
+    // "repository" — pruning must still bite (translated via the fid)
+    assert(sel.inputFiles.length < all.inputFiles.length,
+      s"rename disabled stats pruning: ${sel.inputFiles.length} of ${all.inputFiles.length}")
+    assert(sel.count() ==
+      all.filter(col("repository").between("repo00000", "repo00001")).count())
+    assert(sel.count() > 0)
+  }
+
+  test("commit columns must match the current schema; evolution unlocks them") {
+    val table = freshTable()
+    val base = CodeTable.generate(spark,
+      GraphSpec(numCycles = 6, maxCycleLen = 4, extraArcsPerVertex = 0.2, seed = 34L))
+    TableCatalog.commitAppend(spark, table, base)
+    // extra column without an addColumn first: refused
+    intercept[IllegalArgumentException] {
+      TableCatalog.commitAppend(spark, table, base.withColumn("stars", lit(1L)))
+    }
+    // after the evolution the same append commits fine
+    TableCatalog.addColumn(table, "stars", "bigint")
+    TableCatalog.commitAppend(spark, table,
+      base.withColumn("fileId", col("fileId") + 1000000L).withColumn("stars", lit(1L)))
+    assert(TableCatalog.scan(spark, table).count() == 2 * base.count())
+    // invalid evolutions are refused
+    intercept[IllegalArgumentException](TableCatalog.renameColumn(table, "nope", "x"))
+    intercept[IllegalArgumentException](TableCatalog.renameColumn(table, "sha", "stars"))
+    intercept[IllegalArgumentException](TableCatalog.dropColumn(table, "lang"))
+    intercept[IllegalArgumentException](TableCatalog.addColumn(table, "sha", "string"))
+  }
+
+  test("removeOrphans collects abandoned commits, never live or in-flight files") {
+    val table = freshTable()
+    val gen = CodeTable.generate(spark,
+      GraphSpec(numCycles = 8, maxCycleLen = 4, extraArcsPerVertex = 0.3, seed = 33L))
+    TableCatalog.commitAppend(spark, table, gen)
+    val live = TableCatalog.snapshot(table, 0).entries.map(_.path)
+    val before = TableCatalog.scan(spark, table).count()
+    // crash-simulated commit: data files written, manifest never linked
+    gen.limit(10).write.partitionBy("lang").parquet(s"$table/data/w-orphan-test")
+    // default age guard treats a fresh write as possibly in-flight: kept
+    assert(TableCatalog.removeOrphans(table) == 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$table/data/w-orphan-test")))
+    // age guard lifted (cutoff in the future): exactly the orphans go
+    val n = TableCatalog.removeOrphans(table, olderThanMillis = -60000L)
+    assert(n > 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$table/data/w-orphan-test")))
+    assert(live.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(TableCatalog.scan(spark, table).count() == before)
+    // idempotent once clean
+    assert(TableCatalog.removeOrphans(table, olderThanMillis = -60000L) == 0)
+  }
+
   test("sha256 row invariant survives the catalog round-trip") {
     val table = freshTable()
     val files = CodeTable.generate(spark,

@@ -253,6 +253,30 @@ class DedupSpec extends SparkTest {
       maxDistance = d, blocks = 14)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got14 == brute)
+    // the DEFAULT (blocks unset) auto-picks the scale path at d≥7 — a d=10
+    // caller gets the 66-table/10-bit-key geometry without reading any doc
+    val gotAuto = Dedup.simhashDuplicates(docs, col("doc_id"), col("text"),
+      maxDistance = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAuto == brute)
+  }
+
+  test("simhashAutoBlocks: d+1 below 7, multi-table (guaranteed ≥9-bit keys) above") {
+    // unchanged for the d ≤ 6 regime (r=1 keys already ≥ 9 bits)
+    for (d <- 0 to 6) assert(Dedup.simhashAutoBlocks(d) == d + 1, s"d=$d")
+    // documented picks for the scale regime
+    assert(Dedup.simhashAutoBlocks(7) == 9)   // C(9,2)=36 tables, 14-bit keys
+    assert(Dedup.simhashAutoBlocks(10) == 12) // C(12,2)=66 tables, 10-bit keys
+    assert(Dedup.simhashAutoBlocks(15) == 18) // C(18,3)=816 tables, 9-bit keys
+    // every pick is a valid geometry: B > d, guaranteed key ≥ 9 bits,
+    // table count inside the 4096 guard
+    for (d <- 0 to 15) {
+      val b = Dedup.simhashAutoBlocks(d)
+      val r = b - d
+      assert(b > d && b <= 32 && r * (64 / b) >= 9, s"d=$d b=$b")
+      val tables = (1 to r).foldLeft(1L)((acc, i) => acc * (b - i + 1) / i)
+      assert(tables <= 4096, s"d=$d b=$b tables=$tables")
+    }
   }
 }
 
@@ -452,6 +476,59 @@ class MultimodalSpec extends SparkTest {
     assert(images.forall { a =>
       val img = Multimodal.Ppm.decode(a.bytes)
       img.width == a.width && img.height == a.height
+    })
+  }
+
+  test("standalone JPEG/PNG: sniffed decode, round-trips, pipeline composition") {
+    val s = spark; import s.implicits._
+    val w = 48; val h = 36
+    // smooth gradient — JPEG-friendly so the lossy bound is meaningful
+    val px = Array.tabulate(w * h * 3)(i => (((i / 3) % w * 4) % 200 + 20).toByte)
+    val src = Multimodal.Ppm.Image(w, h, px)
+
+    // PNG is lossless: exact pixel round-trip through imageio
+    val png = Multimodal.StillImage.encode(src, "png")
+    assert(Multimodal.StillImage.format(png).contains("png"))
+    val backPng = Multimodal.StillImage.decodeAny(png)
+    assert(backPng.width == w && backPng.height == h)
+    assert(backPng.pixels.sameElements(px))
+
+    // JPEG is lossy: dims exact, pixels close
+    val jpg = Multimodal.StillImage.encode(src, "jpg")
+    assert(Multimodal.StillImage.format(jpg).contains("jpeg"))
+    val backJpg = Multimodal.StillImage.decodeAny(jpg)
+    assert(backJpg.width == w && backJpg.height == h)
+    val meanAbsErr = backJpg.pixels.zip(px)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / px.length
+    assert(meanAbsErr < 8.0, meanAbsErr.toString)
+
+    // P6 sniffs as ppm; garbage is refused with a clear message
+    assert(Multimodal.StillImage.format(Multimodal.Ppm.encode(src)).contains("ppm"))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.StillImage.decodeAny(Array[Byte](1, 2, 3, 4)))
+    assert(e.getMessage.contains("unrecognized image format"))
+
+    // one image column mixing all three formats flows through the SAME
+    // decode/features/resize operators (the Spark-side plumbing is format-
+    // agnostic via the sniff)
+    val mixed = Seq(
+      Multimodal.Asset(0L, "image", Multimodal.Ppm.encode(src), "synth://ppm"),
+      Multimodal.Asset(1L, "image", jpg, "synth://jpg"),
+      Multimodal.Asset(2L, "image", png, "synth://png")).toDS()
+    val dec = Multimodal.decode(mixed).collect()
+    assert(dec.length == 3 && dec.forall(a => a.width == w && a.height == h && a.frames == 1))
+    val feats = Multimodal.features(Multimodal.decode(mixed)).collect()
+    assert(feats.length == 3 &&
+      feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+    // PNG and P6 encode identical pixels → identical histograms; JPEG close
+    val byId = feats.map(f => f.assetId -> f.features).toMap
+    assert(byId(0L).sameElements(byId(2L)))
+    assert(byId(0L).zip(byId(1L)).map { case (a, b) => math.abs(a - b) }.max < 0.05f)
+    // resize normalizes every format to P6 at the new dims
+    val rz = Multimodal.resize(Multimodal.decode(mixed), 24).collect()
+    assert(rz.forall { a =>
+      val img = Multimodal.Ppm.decode(a.bytes)
+      math.max(img.width, img.height) <= 24 && img.width == a.width
     })
   }
 }

@@ -123,4 +123,49 @@ class StreamingSpec extends SparkTest {
     assert(streamed == batch,
       s"missed=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
   }
+
+  test("LEFT-OUTER stream-stream interval join emits watermark-expired nulls == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssloj").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(EventStream.schema).parquet(dir)
+    val q = EventStream.viewsBeforePurchases(stream, maxLag = "30 minutes",
+        joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssloj_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // A finite drained source leaves the final watermark at max(ts) − delay:
+    // purchases above (watermark − maxLag) may still be holding out for a
+    // match and their null rows legitimately never emit. Compare the
+    // guaranteed-decided region only.
+    val maxTsMs = events.agg(max(unix_millis(col("ts").cast("timestamp"))))
+      .head().getLong(0)
+    val decidedBelowMs =
+      maxTsMs - (10 + 30 + 1) * 60 * 1000L // watermark + maxLag + 1min slack
+
+    def decided(df: org.apache.spark.sql.DataFrame) = df
+      .filter(unix_millis(col("purchase_ts")) < decidedBelowMs)
+      .select(col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val streamed = decided(spark.table("ssloj_out"))
+    val batch = decided(EventStream.viewsBeforePurchases(
+      spark.read.parquet(dir), maxLag = "30 minutes", joinType = "left_outer"))
+
+    assert(batch.exists(_._2 == -1L), "fixture produced no unmatched purchases")
+    assert(streamed == batch,
+      s"missed=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    // every matched pair the inner join finds in the decided region is here
+    // too (outer ⊇ inner), and no purchase appears both matched and null
+    val nullIds = streamed.collect { case (p, -1L) => p }
+    assert(nullIds.toSet.intersect(streamed.collect {
+      case (p, v) if v != -1L => p }.toSet).isEmpty,
+      "a purchase emitted both a match and a null row")
+  }
 }
