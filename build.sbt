@@ -31,6 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin the initial heap to the max: ParallelGC otherwise starts at ~2g and
+  // collects furiously while growing toward -Xmx — a fresh JVM on the
+  // 61M-edge SCC point measured 381/293 s wall with gcSec ≈ 51% of taskSec
+  // unpinned vs 199/219 s at ~45% pinned (BASELINE.md round-5 GC A/B).
+  // One JVM at a time on a 125 GiB box, so committing 48g up front is free.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // Throughput collector: measured 14% faster end-to-end than G1 on the
   // SCC bench point (and ~45% lower task-thread CPU — G1's concurrent
   // write barriers tax the checkpoint row-copy loop); standard choice for

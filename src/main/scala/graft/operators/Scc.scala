@@ -369,7 +369,11 @@ object Scc {
         .ListHasAsScala(java.nio.file.Files.readAllLines(manifest)).asScala
         .flatMap {
           case re(r, lc, idxs, lp) => Some((r.toInt, lc.toLong, idxs, lp))
-          case _ => None
+          case l if l.isBlank => None
+          // Every line is a writeRound line: a parse failure is corruption,
+          // and silently skipping it would resume from an older round.
+          case l => throw new IllegalStateException(
+            s"unparseable SCC round manifest line in $manifest: $l")
         }
         .lastOption
         .map { case (r, lc, idxs, lp) =>

@@ -115,11 +115,19 @@ final class Superstep(
   def resume(): Option[(DataFrame, Int)] =
     manifestPath.filter(Files.exists(_)).flatMap { p =>
       val snapRe = """"iter":(\d+).*"snapshot":"([^"]+)"""".r.unanchored
+      // No-snapshot iterations are legitimately snapshot-less; anything else
+      // that fails to parse is a corrupt manifest and must fail loudly — a
+      // silent skip would resume from an OLDER iteration and redo work
+      // against state the newer iterations already mutated durably.
+      val noSnapRe = """"iter":\d+.*"snapshot":null""".r.unanchored
       scala.jdk.CollectionConverters
         .ListHasAsScala(Files.readAllLines(p)).asScala
         .flatMap {
           case snapRe(i, path) => Some((i.toInt, path))
-          case _ => None
+          case noSnapRe() => None
+          case l if l.isBlank => None
+          case l => throw new IllegalStateException(
+            s"unparseable superstep manifest line in $p: $l")
         }
         .lastOption
         .map { case (i, path) => (spark.read.parquet(path), i + 1) }

@@ -639,4 +639,34 @@ class SuperstepResumeSpec extends SparkTest {
     assert(fin.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       finFull.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("corrupt manifest line fails resume loudly; snapshot-less lines don't") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume_bad").toString
+    val state0 = (0L until 10L).map(v => (v, v)).toDF("id", "value")
+    def step(st: org.apache.spark.sql.DataFrame, i: Int) =
+      st.select(col("id"), greatest(col("value") - 3, lit(0L)).as("value"))
+    def changed(st: org.apache.spark.sql.DataFrame) =
+      st.filter(col("value") > 0).count()
+
+    val h = new graft.plans.Superstep(spark, "toy", Some(dir), snapshotEvery = 1)
+    h.run(state0, maxIter = 2)(step)(changed)
+    val manifest = java.nio.file.Paths.get(dir, "toy.manifest.jsonl")
+
+    // A snapshot-less metrics line (snapshotEvery not hit) and blank lines
+    // are tolerated: resume still lands on the newest real snapshot.
+    java.nio.file.Files.writeString(manifest,
+      "\n{\"name\":\"toy\",\"iter\":7,\"changed\":3,\"wallMs\":1,\"snapshot\":null}\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val h2 = new graft.plans.Superstep(spark, "toy", Some(dir), snapshotEvery = 1)
+    val Some((_, startIter)) = h2.resume()
+    assert(startIter == 2)
+
+    // Any other unparseable line is corruption → loud failure, never a
+    // silent resume from an older iteration.
+    java.nio.file.Files.writeString(manifest, "not json at all\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val h3 = new graft.plans.Superstep(spark, "toy", Some(dir), snapshotEvery = 1)
+    assertThrows[IllegalStateException](h3.resume())
+  }
 }

@@ -408,4 +408,26 @@ class SccSpec extends SparkTest {
     // and it genuinely resumed (first recorded round is > 0), not restarted
     assert(resumedMetrics.head.round > 0, resumedMetrics.toString)
   }
+
+  test("corrupt round manifest fails resume loudly, never a silent restart") {
+    val edges = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      (40L until 80L).map(i => (i, if (i == 79) 40L else i + 1)) :+ (7L, 44L)
+    val vertices = 0L until 80L
+    val e = edgesDf(edges)
+    val v = vertsDf(vertices)
+    val dir = java.nio.file.Files.createTempDirectory("scc_resume_bad_").toString
+    intercept[IllegalArgumentException] {
+      Scc.components(spark, e, v, maxOuter = 1,
+        localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
+    }
+    val manifest = java.nio.file.Paths.get(dir, "scc.manifest.jsonl")
+    java.nio.file.Files.writeString(manifest, "garbage line\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // resuming over a corrupted manifest must throw — silently skipping the
+    // bad line would redo round 0 against durable state round 1 already saw
+    assertThrows[IllegalStateException] {
+      Scc.components(spark, e, v,
+        localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
+    }
+  }
 }
