@@ -244,11 +244,34 @@ object Bench {
     // and the final sort — `.count()` would let Catalyst prune the
     // projections of projection-only queries and time a row count instead
     // of the operators. Failed queries report -1 (never a fake wall time).
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // Each query runs TWICE and reports the MIN wall (the reference harness
+    // discards a warmup run per session, scc_runner.cu:36-38; min-of-2 is
+    // the same idea made robust to this box's multi-minute noise windows —
+    // two same-code round-5 runs disagreed up to 11× on individual queries
+    // while executor CPU stayed flat). Both runs' wall + executor
+    // task/cpu/gc seconds are emitted under "query_legs" so a noise-crossed
+    // run is visible in the JSON itself, exactly like the scaling legs.
+    val qClock = new TaskClock
+    spark.sparkContext.addSparkListener(qClock)
+    def queryLeg(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Leg = {
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+      val (t0t, t0c, t0g) = qClock.snapshot
       val sec =
         try timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())._2
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
-      name -> sec
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+      val (t1t, t1c, t1g) = qClock.snapshot
+      Leg(sec, t1t - t0t, t1c - t0c, t1g - t0g)
+    }
+    val queryLegs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> Seq(queryLeg(name, fn), queryLeg(name, fn))
+    }
+    val queryTimes = queryLegs.map { case (name, legs) =>
+      val ok = legs.map(_.wall).filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     spark.stop()
     SparkSession.clearActiveSession()
@@ -299,11 +322,14 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qLegs = queryLegs.map { case (k, legs) =>
+      "\"" + k + "\":" + legs.map(_.json).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val tput4N = primary.head.edges / median(primary.map(_.scc4N.wall))
     println(
       s"""{"metric":"scc_edges_per_sec_at_4N","value":${f"$tput4N%.1f"},"unit":"edges/sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},""" +
+      s""""queries":$qs,"query_legs":$qLegs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},""" +
       s""""scaling":{${scalingJson(primary, n, cpus, withPr = true)}""" +
       (if (lo.nonEmpty) s""","below_saturation_2_8":{${scalingJson(lo, 2, 8, withPr = false)}}""" else "") +
       (if (big.nonEmpty) s""","scaling_4x":{${scalingJson(big, n, cpus, withPr = false)}}""" else "") +
