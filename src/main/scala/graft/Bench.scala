@@ -234,6 +234,11 @@ object Bench {
   private def run(realErr: java.io.PrintStream): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // parsed and validated BEFORE the query legs run: an empty scaling
+    // block would otherwise NoSuchElementException at JSON assembly,
+    // discarding all of the completed query measurements
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    require(repeats > 0, s"SPARK_GRAFT_BENCH_PAIRS must be >= 1, got $repeats")
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
 
     // ---- part 1: per-query timings on the harness tables ----
@@ -295,7 +300,6 @@ object Bench {
     // every leg carries its executor task/cpu/gc seconds so a noise-crossed
     // leg is visible in the JSON itself (wall up, taskSec flat ⇒ machine;
     // both up ⇒ code did more work).
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
     val primary = scalingRuns(n, cpus, spec, repeats)
 
     // Secondary (N=2, 4N=8) SCC-only pairs: both legs sit BELOW this box's

@@ -173,7 +173,9 @@ object Scc {
     * materialized degree frame, which backs them instead of being
     * released: one driver action per sweep, not two. Retention is BOUNDED
     * (not just deferred): every `compactEvery` sweeps the pending
-    * fragments union into one compact frame and their O(remaining)
+    * fragments union into one compact frame (delivered via
+    * `compactedParts` so the round-level compactor never re-shuffles it)
+    * and their O(remaining)
     * backers are freed, so a peel-heavy graph below `capMinRemaining` —
     * where the adaptive cap never engages and ~maxSweeps sweeps are
     * legitimate — holds at most `compactEvery` survivor frames at a time
@@ -194,9 +196,13 @@ object Scc {
     * unit-testable at fixture size.
     *
     * Returns (survivors frame — arena-owned, schema = verts ++ oc/ic/dead —
-    * remaining row count, removed total, sweeps run, done). `done` = the
-    * trim phase is complete (fixpoint reached or adaptively capped); false
-    * only when the hard `maxSweeps` cap interrupted real progress.
+    * remaining row count, removed total, sweeps run, done, compacted rows).
+    * `done` = the trim phase is complete (fixpoint reached or adaptively
+    * capped); false only when the hard `maxSweeps` cap interrupted real
+    * progress. `compacted rows` = rows this call appended to the caller's
+    * `compactedParts` (already-compact frames, never re-shuffled by the
+    * round-level compactor) — the caller must credit them to its
+    * compacted-rows tally alongside `assigned += removed total`.
     */
   private def trimFixpoint(
       arena: CheckpointArena,
@@ -206,8 +212,9 @@ object Scc {
       maxSweeps: Int,
       assignedParts: mutable.ArrayBuffer[DataFrame],
       partBacking: mutable.ArrayBuffer[DataFrame],
+      compactedParts: mutable.ArrayBuffer[DataFrame],
       capFraction: Double,
-      capMinRemaining: Long): (DataFrame, Long, Long, Int, Boolean) = {
+      capMinRemaining: Long): (DataFrame, Long, Long, Int, Boolean, Long) = {
     var (degs, remaining, deadCnt) = init
     val carry = degs.columns.filterNot(Set("id", "oc", "ic", "dead")).toSeq
     def proj(oc: Column, ic: Column): Seq[Column] =
@@ -223,14 +230,17 @@ object Scc {
     // waited for the caller's round-level compaction. Every `compactEvery`
     // sweeps the pending fragments union into ONE compact (id, comp) frame
     // (rows ≤ removed-so-far, usually ≪ V) and the heavyweight backers are
-    // released; compacted frames are never re-compacted here (same
-    // rationale as the round-level mechanism). The caller's tally is
-    // unaffected — same rows, fewer frames.
+    // released. Compacted frames flow to the caller's round-level
+    // `compactedParts` (credited via the returned compacted-rows count), so
+    // neither compactor ever re-shuffles them — routing them through
+    // `assignedParts` instead would have the round-level compactor union +
+    // repartition the already-settled rows a second time.
     val compactEvery = 8
     val localParts = mutable.ArrayBuffer[DataFrame]()
     val localBacking = mutable.ArrayBuffer[DataFrame]()
     val localCompacted = mutable.ArrayBuffer[DataFrame]()
     var localPendingRows = 0L
+    var localCompactedRows = 0L
     def compactLocal(): Unit = if (localParts.size >= compactEvery) {
       val (compacted, cnt) = arena.freshCounted(
         localParts.reduce(_.unionByName(_)).repartition(col("id")))
@@ -240,6 +250,7 @@ object Scc {
       localParts.clear()
       localBacking.clear()
       localCompacted += compacted
+      localCompactedRows += cnt
       localPendingRows = 0L
       graft.Log.v(s"trim: compacted $cnt removed rows into one frame")
     }
@@ -308,10 +319,10 @@ object Scc {
       compactLocal()
       }
     }
-    assignedParts ++= localCompacted
+    compactedParts ++= localCompacted
     assignedParts ++= localParts
     partBacking ++= localBacking
-    (degs, remaining, removedTotal, sweep, deadCnt == 0 || capped)
+    (degs, remaining, removedTotal, sweep, deadCnt == 0 || capped, localCompactedRows)
   }
 
   /** Outer-loop durability (north_rule "resumable from checkpoint with
@@ -370,10 +381,14 @@ object Scc {
         .flatMap {
           case re(r, lc, idxs, lp) => Some((r.toInt, lc.toLong, idxs, lp))
           case l if l.isBlank => None
-          // Every line is a writeRound line: a parse failure is corruption,
-          // and silently skipping it would resume from an older round.
+          // Every line is a writeRound line: a parse failure means
+          // corruption OR a manifest written by an older release with a
+          // different field layout — either way, silently skipping it would
+          // resume from the wrong round, so fail with the recovery step.
           case l => throw new IllegalStateException(
-            s"unparseable SCC round manifest line in $manifest: $l")
+            s"unparseable SCC round manifest line in $manifest: $l " +
+              "(corrupt, or written by an incompatible engine version — " +
+              "delete the snapshot directory to restart from scratch)")
         }
         .lastOption
         .map { case (r, lc, idxs, lp) =>
@@ -609,11 +624,13 @@ object Scc {
         // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172
         // does the same) — degree-0 peeling needs no partition map and
         // shrinks the first FW-BW round.
-        val (degs, preRemaining, preTrimmed, preSweeps, preDone) = trimFixpoint(
-          arena, eBySrc, eByDst, init, maxTrimSweeps, assignedParts, partBacking,
-          trimCapFraction, trimCapMinRemaining)
+        val (degs, preRemaining, preTrimmed, preSweeps, preDone, preCompacted) =
+          trimFixpoint(
+            arena, eBySrc, eByDst, init, maxTrimSweeps, assignedParts, partBacking,
+            compactedParts, trimCapFraction, trimCapMinRemaining)
         preTrimDone = preDone
         assigned += preTrimmed
+        compactedRows += preCompacted
         graft.Log.v(s"scc: global pre-trim removed $preTrimmed in $preSweeps sweeps" +
           (if (preDone) "" else " (maxTrimSweeps cap hit)"))
         // a peel-heavy graph can exceed the fragment threshold (and retain
@@ -829,12 +846,13 @@ object Scc {
         // adaptive cap it would only re-run the same below-threshold
         // trickle the cap deliberately left to later rounds.
         if (round > 0 || !preTrimDone) {
-          val (degsR, remaining, trimmed, _, _) = trimFixpoint(
+          val (degsR, remaining, trimmed, _, _, trimCompacted) = trimFixpoint(
             arena, leLive, leLive, buildTrimDegrees(arena, leLive, live),
-            maxTrimSweeps, assignedParts, partBacking,
+            maxTrimSweeps, assignedParts, partBacking, compactedParts,
             trimCapFraction, trimCapMinRemaining)
           trimmedTotal = trimmed
           assigned += trimmed
+          compactedRows += trimCompacted
           if (trimmed > 0) {
             arena.release(live)
             live = degsR // (id, pivot) survivors; oc/ic/dead ride along unused

@@ -127,7 +127,9 @@ final class Superstep(
           case noSnapRe() => None
           case l if l.isBlank => None
           case l => throw new IllegalStateException(
-            s"unparseable superstep manifest line in $p: $l")
+            s"unparseable superstep manifest line in $p: $l " +
+              "(corrupt, or written by an incompatible engine version — " +
+              "delete the snapshot directory to restart from scratch)")
         }
         .lastOption
         .map { case (i, path) => (spark.read.parquet(path), i + 1) }

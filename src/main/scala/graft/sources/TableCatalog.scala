@@ -223,6 +223,36 @@ object TableCatalog {
   private def parseBound(v: String): Option[String] =
     if (v == "null") None else Some(junstr(v.substring(1, v.length - 1)))
 
+  /** Close java.nio directory streams deterministically — each unclosed
+    * `Files.list`/`Files.walk` holds a directory fd until finalization, and
+    * a long-lived driver running maintenance over many tables would leak
+    * its way to the process ulimit. */
+  private def using[A <: AutoCloseable, B](a: A)(f: A => B): B =
+    try f(a) finally a.close()
+
+  /** Commit-time schema enforcement: names AND types. A names-only check
+    * would let a type-mismatched commit through, and [[projectTo]]'s cast
+    * on scan would then null the bad values SILENTLY (Spark casts are
+    * lenient) — the one failure mode worse than rejecting the commit. */
+  private def requireSchemaMatch(files: DataFrame, cur: TableSchema): Unit = {
+    val have = files.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    require(have.keySet == cur.fields.map(_.name).toSet,
+      s"commit columns ${have.keySet.toSeq.sorted.mkString(",")} must match the " +
+        s"table's current schema ${cur.fields.map(_.name).sorted.mkString(",")} " +
+        "(evolve the schema first — addColumn/renameColumn/dropColumn)")
+    val mismatched = cur.fields.collect {
+      case f if normType(f.dtype) != have(f.name) =>
+        s"${f.name}: commit ${have(f.name)} vs schema ${normType(f.dtype)}"
+    }
+    require(mismatched.isEmpty,
+      s"commit column types must match the table's current schema — " +
+        mismatched.mkString("; "))
+  }
+
+  /** Canonical catalog type string ("BIGINT" and "bigint" are one type). */
+  private def normType(dtype: String): String =
+    org.apache.spark.sql.types.DataType.fromDDL(dtype).catalogString
+
   /** Current snapshot id, or -1 for an empty/nonexistent table.
     *
     * The hint is a fast-path HINT, not the truth: a committer that created
@@ -249,9 +279,9 @@ object TableCatalog {
       val dir = metaDir(table)
       id =
         if (!Files.isDirectory(dir)) -1
-        else Files.list(dir).iterator().asScala
+        else using(Files.list(dir))(_.iterator().asScala
           .flatMap(p => snapRe.unapplySeq(p.getFileName.toString).map(_.head.toInt))
-          .foldLeft(-1)(math.max)
+          .foldLeft(-1)(math.max))
     }
     id
   }
@@ -326,12 +356,8 @@ object TableCatalog {
     // just avoids leaking a full commit's worth of orphan files on the
     // common mistake).
     val preId = currentSnapshotId(table)
-    if (preId >= 0) snapshot(table, preId).currentSchema.foreach { cur =>
-      require(files.columns.toSet == cur.fields.map(_.name).toSet,
-        s"commit columns ${files.columns.sorted.mkString(",")} must match the " +
-          s"table's current schema ${cur.fields.map(_.name).sorted.mkString(",")} " +
-          s"(evolve the schema first — addColumn/renameColumn/dropColumn)")
-    }
+    if (preId >= 0) snapshot(table, preId).currentSchema.foreach(
+      requireSchemaMatch(files, _))
     // Data files first, under a commit-unique prefix: the expensive part
     // runs outside the commit race, and a failed/abandoned commit leaves
     // only unreferenced files (collected by [[removeOrphans]]), never a
@@ -386,13 +412,13 @@ object TableCatalog {
             p -> bounds
           }.toMap
       }
-    val written = Files.walk(dataDir).iterator().asScala
+    val written = using(Files.walk(dataDir))(_.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet"))
       .map { p =>
         val lang = p.getParent.getFileName.toString.stripPrefix("lang=")
         ManifestEntry(p.toString, lang, statsByPath.getOrElse(p.toString, Map.empty))
       }
-      .toSeq.sortBy(_.path)
+      .toSeq).sortBy(_.path)
     Files.createDirectories(metaDir(table))
 
     // CAS retry loop: claim prev+1 by atomically linking the manifest into
@@ -414,16 +440,32 @@ object TableCatalog {
       val (schemas, curId) = prevSnap match {
         case Some(s) if s.schemas.nonEmpty => (s.schemas, s.currentSchemaId)
         case _ =>
-          (Seq(TableSchema(0, files.schema.fields.toSeq.zipWithIndex.map {
-            case (f, i) => Field(i + 1, f.name, f.dataType.catalogString)
+          // Schema 0 must describe the files it will be READ with. For a
+          // brand-new table that is this commit's own DataFrame; for a
+          // legacy (pre-evolution) table whose entries are CARRIED forward,
+          // it is the legacy files' shape — schemaOf maps them to the first
+          // schema at scan time — derived from one carried file's parquet
+          // footer plus the path-recovered lang partition column (one
+          // bounded footer read, once per legacy upgrade). Deriving from
+          // the incoming DataFrame instead would make every carried file
+          // unscannable if the shapes differ; with this, a mismatched
+          // incoming commit fails the schema require below.
+          val legacyCarried =
+            if (keepPrevious) prevSnap.map(_.entries).getOrElse(Seq.empty)
+            else Seq.empty
+          val fields0 =
+            if (legacyCarried.isEmpty)
+              files.schema.fields.toSeq.map(f => f.name -> f.dataType.catalogString)
+            else
+              spark.read.parquet(legacyCarried.head.path).schema.fields.toSeq
+                .map(f => f.name -> f.dataType.catalogString) :+ ("lang" -> "string")
+          (Seq(TableSchema(0, fields0.zipWithIndex.map {
+            case ((nm, tp), i) => Field(i + 1, nm, tp)
           })), 0)
       }
       val cur = schemas.find(_.id == curId).getOrElse(throw new IllegalStateException(
         s"table $table: current schema id $curId not in manifest"))
-      require(files.columns.toSet == cur.fields.map(_.name).toSet,
-        s"commit columns ${files.columns.sorted.mkString(",")} must match the " +
-          s"table's current schema ${cur.fields.map(_.name).sorted.mkString(",")} " +
-          s"(evolve the schema first — addColumn/renameColumn/dropColumn)")
+      requireSchemaMatch(files, cur)
       val stamped = written.map(_.copy(schemaId = curId))
       val carried =
         if (keepPrevious) prevSnap.map(_.entries).getOrElse(Seq.empty) else Seq.empty
@@ -465,14 +507,14 @@ object TableCatalog {
   /** Add a nullable column (existing files read it as null). `dtype` is a
     * Spark catalog type string (`bigint`, `string`, `double`, …). */
   def addColumn(table: String, name: String, dtype: String): Int = {
-    org.apache.spark.sql.types.DataType.fromDDL(dtype) // validate eagerly
+    val dt = normType(dtype) // validate eagerly AND canonicalize ("BIGINT"→"bigint")
     evolveSchema(table) { (schemas, cur) =>
       require(name != "lang", "lang is the partition column and cannot be evolved")
       require(!cur.fields.exists(_.name == name), s"column $name already exists")
       // fid allocation scans ALL schemas ever, never just the current one:
       // re-adding a dropped name must mint a new identity
       val fid = schemas.flatMap(_.fields.map(_.fid)).max + 1
-      cur.fields :+ Field(fid, name, dtype)
+      cur.fields :+ Field(fid, name, dt)
     }
   }
 
@@ -704,14 +746,14 @@ object TableCatalog {
     val md = metaDir(table)
     val ids =
       if (!Files.isDirectory(md)) Seq.empty[Int]
-      else Files.list(md).iterator().asScala
+      else using(Files.list(md))(_.iterator().asScala
         .flatMap(p => snapRe.unapplySeq(p.getFileName.toString).map(_.head.toInt))
-        .toSeq
+        .toSeq)
     val referenced = ids.flatMap(id => snapshot(table, id).entries.map(e =>
       Paths.get(e.path).toAbsolutePath.normalize.toString)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val all = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p)).toSeq // materialize before mutating
+    val all = using(Files.walk(dataDir))(_.iterator().asScala
+      .filter(p => Files.isRegularFile(p)).toSeq) // materialize before mutating
     val byPrefix = all.groupBy { p =>
       // group by the w-<uuid> commit prefix (files directly under data/
       // group by themselves — not produced by this writer, handled per-file)

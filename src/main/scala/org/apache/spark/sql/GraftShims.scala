@@ -55,11 +55,6 @@ object GraftShims {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
-  /** Eagerly materialize `df` into a cached, lineage-truncated RDD and wrap
-    * it in a fresh DataFrame with the same schema and output partitioning
-    * but default (not inherited) stats. Returns the DataFrame and the
-    * backing RDD handle so callers can `unpersist` once superseded.
-    */
   /** [[checkpointFresh]] that additionally counts rows whose boolean column
     * `flagCol` is true, DURING the materialization pass (via accumulator) —
     * an iterative algorithm's convergence check then costs zero extra jobs
@@ -108,9 +103,12 @@ object GraftShims {
     * aggregate stats an algorithm needs to pick its strategy (e.g. SCC's
     * edge total and full-graph max degrees, previously a separate agg job
     * on every call). Null column values count as 0 toward the sum and are
-    * skipped for the max. Same retry contract as the flag accumulator:
-    * sums can overcount on task replay and must gate only heuristics
-    * (thresholds, logging), never results; maxes are replay-safe.
+    * skipped for the max. Same exactness argument as the flag accumulator
+    * (see [[flaggedImpl]]: ResultStage updates apply once per partition,
+    * and the localCheckpoint forbids later recompute), so counts/sums are
+    * exact too; maxes are additionally idempotent by construction. Callers
+    * here still use the stats only to pick strategies (thresholds,
+    * logging) — results never depend on them.
     * Returns (frame, rdd, totalRows, flaggedRows, sums, maxes).
     */
   def checkpointFreshFlaggedWithLongStats(
@@ -166,13 +164,22 @@ object GraftShims {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val qe = df.queryExecution
     val acc = session.sparkContext.longAccumulator(s"graft.flagged.$flagCol")
-    // The accumulator increments inside a map transformation, so a task
-    // retry / speculative duplicate can overcount. That is acceptable BY
-    // CONTRACT here: callers use the flagged count only as a convergence
-    // signal (`> 0` ⇒ keep iterating), so overcounting can at worst run one
-    // extra superstep whose own count is then exact — results are never
-    // affected. Exact per-step counts would cost a second job per superstep,
-    // which is the latency this shim exists to remove.
+    // EXACTNESS: the increment sits in the FINAL map of the one count()
+    // below, i.e. inside that job's ResultStage tasks. Spark's scheduler
+    // applies a ResultTask's accumulator updates only on the FIRST
+    // successful completion of each partition (retries of failed attempts
+    // are discarded — countFailedValues=false — and a speculative
+    // duplicate's updates are ignored because the partition is already
+    // finished), so the flagged count is exactly-once per partition even
+    // under task retry, stage retry, and speculation — unlike an
+    // accumulator in a ShuffleMapStage, where re-executed map tasks DO
+    // double-count. The other recompute path (a later job re-running this
+    // map after cache eviction) is closed by the localCheckpoint: lineage
+    // is truncated, so Spark reloads blocks or fails — never re-executes.
+    // Callers may therefore use the flagged count as an exact tally (Scc's
+    // fragment-exactness requires do), not just a convergence signal.
+    // Exact per-step counts via a second aggregation would cost a second
+    // job per superstep, which is the latency this shim exists to remove.
     val rdd = qe.toRdd.map { r =>
       if (flagged(r)) acc.add(1L)
       r.copy()
@@ -201,6 +208,12 @@ object GraftShims {
     try sc.listenerBus.waitUntilEmpty(30000L)
     catch { case _: Throwable => () }
 
+  /** Eagerly materialize `df` into a cached, lineage-truncated RDD and wrap
+    * it in a fresh DataFrame with the same schema and output partitioning
+    * but default (not inherited) stats. Returns the DataFrame, the backing
+    * RDD handle so callers can `unpersist` once superseded, and the exact
+    * materialized row count.
+    */
   def checkpointFresh(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val qe = df.queryExecution

@@ -304,6 +304,62 @@ class CatalogSpec extends SparkTest {
     intercept[IllegalArgumentException](TableCatalog.addColumn(table, "sha", "string"))
   }
 
+  test("commit type mismatches are refused, not silently cast to null on scan") {
+    val table = freshTable()
+    val base = CodeTable.generate(spark,
+      GraphSpec(numCycles = 6, maxCycleLen = 4, extraArcsPerVertex = 0.2, seed = 35L))
+    TableCatalog.commitAppend(spark, table, base)
+    // evolution type strings are canonicalized (BIGINT == bigint)
+    TableCatalog.addColumn(table, "stars", "BIGINT")
+    // right name, wrong type: a names-only check would let this through and
+    // projectTo's cast would null every value on scan with no error anywhere
+    val ex = intercept[IllegalArgumentException] {
+      TableCatalog.commitAppend(spark, table,
+        base.withColumn("stars", lit("4 stars")))
+    }
+    assert(ex.getMessage.contains("stars"), ex.getMessage)
+    // the correctly-typed commit goes through
+    TableCatalog.commitAppend(spark, table,
+      base.withColumn("fileId", col("fileId") + 1000000L).withColumn("stars", lit(7L)))
+    assert(TableCatalog.scan(spark, table).filter(col("stars") === 7L).count() ==
+      base.count())
+  }
+
+  test("legacy (pre-evolution) table upgrade: schema 0 describes the carried files") {
+    val table = freshTable()
+    val base = CodeTable.generate(spark,
+      GraphSpec(numCycles = 6, maxCycleLen = 4, extraArcsPerVertex = 0.2, seed = 36L))
+    TableCatalog.commitAppend(spark, table, base)
+    // Simulate a manifest written by the pre-evolution release: strip the
+    // schema header line and the per-entry sid stamps from snap-0.json.
+    val m = java.nio.file.Paths.get(table, "metadata", "snap-0.json")
+    val legacy = java.nio.file.Files.readAllLines(m)
+    assert(legacy.get(0).contains("currentSchemaId"))
+    val stripped = new java.util.ArrayList[String]()
+    legacy.subList(1, legacy.size).forEach(l =>
+      stripped.add(l.replace(""","sid":0""", "")))
+    java.nio.file.Files.write(m, stripped)
+    assert(TableCatalog.snapshot(table, 0).schemas.isEmpty) // legacy confirmed
+    // A first new-writer commit with a DIFFERENT shape must be refused:
+    // deriving schema 0 from it would make every carried legacy file
+    // unscannable (their physical columns wouldn't match the schema).
+    intercept[IllegalArgumentException] {
+      TableCatalog.commitAppend(spark, table,
+        base.withColumnRenamed("repo", "repository"))
+    }
+    // The same-shape upgrade commit establishes schema 0 = the legacy shape
+    // and every generation scans under it.
+    TableCatalog.commitAppend(spark, table,
+      base.withColumn("fileId", col("fileId") + 1000000L))
+    val scanned = TableCatalog.scan(spark, table)
+    assert(scanned.count() == 2 * base.count())
+    assert(TableCatalog.snapshot(table, TableCatalog.currentSnapshotId(table))
+      .currentSchema.exists(_.fields.map(_.name).toSet == base.columns.toSet))
+    // and the established schema evolves normally from here
+    TableCatalog.renameColumn(table, "repo", "repository")
+    assert(TableCatalog.scan(spark, table).columns.contains("repository"))
+  }
+
   test("removeOrphans collects abandoned commits, never live or in-flight files") {
     val table = freshTable()
     val gen = CodeTable.generate(spark,
