@@ -76,7 +76,14 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val sh = docs.select(id.as("id"), shingles(text, shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.select(col("id"), minhash(col("sh"), bands * rowsPerBand).as("sig"))
+    // shingle-set size rides the SAME subtree as the signature: `sh` is an
+    // un-persisted view over docs, so every separate subtree referencing it
+    // re-runs the shingle kernel over the corpus — carrying nsh here (vs
+    // the old separate size-projection joined back by id) removes one full
+    // recompute AND its exchange; the only remaining re-evaluations are the
+    // two sides of the final verify join, which see only surviving pairs
+    val sig = sh.select(col("id"), minhash(col("sh"), bands * rowsPerBand).as("sig"),
+      size(col("sh")).as("nsh"))
     // one row per (doc, band): bucket key = hash of the band's slice.
     // The signature is computed BELOW the generator (band ids exploded from
     // a literal array), so the expensive minhash tree evaluates exactly
@@ -88,18 +95,16 @@ object Dedup {
     // collides in several bands would otherwise shuffle two document-sized
     // arrays once per collision; ids are deduped FIRST, then shingles join
     // back exactly once per surviving pair for the exact-Jaccard verify.
+    // nsh rides along: jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|),
+    // so most band-collision noise is discarded as a cheap scalar predicate
+    // before any pair survives to the distinct + array-intersect verification
     val bucketed = sig
-      .select(col("id"), col("sig"),
+      .select(col("id"), col("sig"), col("nsh"),
         explode(typedLit((0 until bands).toArray)).as("band"))
-      .select(col("id"), col("band"),
+      .select(col("id"), col("band"), col("nsh"),
         xxhash64(col("band"),
           concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
           .as("bucket"))
-      // shingle-set size rides along: jaccard >= t forces
-      // min(|A|,|B|) >= t*max(|A|,|B|), so most band-collision noise is
-      // discarded as a cheap scalar predicate before any pair survives to
-      // the distinct + array-intersect verification
-      .join(sh.select(col("id"), size(col("sh")).as("nsh")), Seq("id"))
     val l = bucketed.select(col("band"), col("bucket"), col("id").as("a"), col("nsh").as("na"))
     val r = bucketed.select(col("band"), col("bucket"), col("id").as("b"), col("nsh").as("nb"))
     val candidates = l.join(r, Seq("band", "bucket"))

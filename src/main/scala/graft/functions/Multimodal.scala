@@ -69,6 +69,11 @@ object Multimodal {
       val maxval = token().toInt
       require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
       i += 1 // single whitespace after maxval
+      // copyOfRange would silently ZERO-PAD a truncated raster — reject it
+      // loudly like every other malformed-input path in these codecs, or
+      // downstream features/dedup compute over fabricated black pixels
+      require(bytes.length >= i + w * h * 3,
+        s"truncated P6 raster: need ${w * h * 3} bytes, have ${bytes.length - i}")
       val pixels = java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)
       Image(w, h, pixels)
     }
@@ -122,6 +127,28 @@ object Multimodal {
         Some("png")
       else None
 
+    /** Top-down raw RGB of a decoded BufferedImage — the ONE imageio→RGB
+      * pixel loop ([[decodeAny]] and Avi's MJPG frame decode both use it;
+      * a colorspace/stride fix lands in one place). */
+    private[functions] def rgbOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          px(o) = ((p >> 16) & 0xff).toByte
+          px(o + 1) = ((p >> 8) & 0xff).toByte
+          px(o + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+
     /** Decode any supported still format (P6 passes through its own
       * parser; JPEG/PNG via imageio) to top-down raw RGB. */
     def decodeAny(bytes: Array[Byte]): Ppm.Image = format(bytes) match {
@@ -129,27 +156,13 @@ object Multimodal {
       case Some(_) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         require(img != null, "undecodable image bytes")
-        val w = img.getWidth; val h = img.getHeight
-        val px = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            val o = (y * w + x) * 3
-            px(o) = ((p >> 16) & 0xff).toByte
-            px(o + 1) = ((p >> 8) & 0xff).toByte
-            px(o + 2) = (p & 0xff).toByte
-            x += 1
-          }
-          y += 1
-        }
-        Ppm.Image(w, h, px)
+        Ppm.Image(img.getWidth, img.getHeight, rgbOf(img))
       case None => throw new IllegalArgumentException(
         "unrecognized image format (P6 PPM, JPEG, PNG supported)")
     }
 
-    /** Encode raw RGB as `png` (lossless round-trip) or `jpg` (lossy). */
+    /** Encode raw RGB as `png` (lossless round-trip) or `jpg` (lossy) —
+      * the ONE RGB→imageio loop (Avi's MJPG frame encode delegates here). */
     def encode(img: Ppm.Image, fmt: String = "png"): Array[Byte] = {
       require(Set("png", "jpg", "jpeg").contains(fmt), s"unsupported format $fmt")
       val bi = new java.awt.image.BufferedImage(
@@ -352,22 +365,8 @@ object Multimodal {
       assemble(w, h, v.fps, "MJPG", MJPG, w * h * 3, frameChunkId = "00dc",
         v.frames.iterator.map { rgb =>
           require(rgb.length == w * h * 3, s"frame must be ${w * h * 3} bytes")
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val o = (y * w + x) * 3
-              img.setRGB(x, y,
-                ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
+          // the same RGB→JPEG loop as a bare still image
+          StillImage.encode(Ppm.Image(w, h, rgb), "jpg")
         }, v.frames.length)
     }
 
@@ -427,21 +426,7 @@ object Multimodal {
               require(img != null, "undecodable MJPG frame")
               require(img.getWidth == w && img.getHeight == h,
                 s"MJPG frame ${img.getWidth}x${img.getHeight} != header ${w}x$h")
-              val rgb = new Array[Byte](w * h * 3)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  val o = (y * w + x) * 3
-                  rgb(o) = ((p >> 16) & 0xff).toByte
-                  rgb(o + 1) = ((p >> 8) & 0xff).toByte
-                  rgb(o + 2) = (p & 0xff).toByte
-                  x += 1
-                }
-                y += 1
-              }
-              frames += rgb
+              frames += StillImage.rgbOf(img) // the same imageio→RGB loop
             case "00db" | "00dc" =>
               // compression == -1 means no strf was parsed before this
               // frame chunk: a structural problem (movi before strl, or a
@@ -581,7 +566,10 @@ object Multimodal {
     import decoded.sparkSession.implicits._
     decoded.filter(_.kind == "video").flatMap { a =>
       val v = Avi.decode(a.bytes)
-      val frames = math.max(1, v.frames.length)
+      // a zero-frame video (valid empty movi list) emits zero rows — the
+      // old max(1, …) guard protected the division but then indexed
+      // frames(0) on the empty vector, failing the whole task
+      val frames = v.frames.length
       val take = math.min(k, frames)
       (0 until take).map { i =>
         val fi = (i.toLong * frames / take).toInt

@@ -23,6 +23,8 @@ object VectorKernels {
 
   /** Σ a(i)·b(i) over float arrays, left-to-right (same summation order as
     * the `aggregate`/`zip_with` fold it replaces — identical doubles).
+    * Assumes equal lengths — [[VectorDot]] nulls mismatched pairs before
+    * this runs; the min() below is only belt-and-braces for direct callers.
     */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -130,9 +132,15 @@ object VectorKernels {
   }
 }
 
-/** Dot product of two `array<float>` columns as double — codegen'd. */
+/** Dot product of two `array<float>` columns as double — codegen'd.
+  * Mismatched lengths yield NULL, exactly like the `zip_with` column form
+  * this replaces (whose shorter-side padding nulls the whole sum) — a
+  * silently-truncated partial dot product would turn one corrupt short embedding
+  * row into a plausible-but-wrong similarity with no error anywhere.
+  */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // also null on length mismatch
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) => true
@@ -143,11 +151,21 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"VectorDot needs two array<float> inputs, got ${left.dataType}, ${right.dataType}")
   }
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else VectorKernels.dotFF(aa, bb)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.expr.VectorKernels.dotFF($a, $b);")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.expr.VectorKernels.dotFF($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
     copy(left = l, right = r)
 }

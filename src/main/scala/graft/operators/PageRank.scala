@@ -58,12 +58,15 @@ object PageRank {
     val arena = new CheckpointArena
 
     val outDeg = edges.groupBy(col("src").as("id")).agg(count("*").as("outDeg"))
+    // NOT persisted: the only consumer is state0, which the harness
+    // checkpoints immediately (update() reads outDeg from the checkpointed
+    // state — see the negative A/B below); caching O(V) rows that are
+    // scanned exactly once would be a pure cache-write tax
     val verts = vertices
       .select("id")
       .join(outDeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("outDeg"), lit(0L)).as("outDeg"))
       .repartition(col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val edgesBySrc = edges.select("src", "dst")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,7 +119,6 @@ object PageRank {
       (0 until itersThisStep).foldLeft(state)((s, _) => update(s))
     } { _ => 0L }
 
-    verts.unpersist(false)
     edgesBySrc.unpersist(false)
     new PageRankRun(converged.select("id", "rank"), metrics, () => arena.closeExcept())
   }

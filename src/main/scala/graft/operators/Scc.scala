@@ -345,13 +345,7 @@ object Scc {
     private val fileIdx = new java.util.IdentityHashMap[DataFrame, Integer]()
     private var nextIdx = 0
 
-    private def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    private def jstr(s: String): String = graft.plans.Jsonl.jstr(s)
 
     def writeRound(round: Int, live: DataFrame, liveCount: Long,
         parts: Seq[DataFrame]): Unit = {

@@ -33,16 +33,7 @@ final class Superstep(
 
   private def manifestPath = snapshotDir.map(d => Paths.get(d, s"$name.manifest.jsonl"))
 
-  /** Minimal JSON string escape — name/snapshot paths are caller-supplied
-    * and a quote or backslash would otherwise corrupt the manifest line.
-    */
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = Jsonl.jstr(s)
 
   /** Run `step` from `state0` until `changedOf(next)` returns 0 or `maxIter`.
     * `step` must return the full next state; `changedOf` is evaluated on the

@@ -154,26 +154,8 @@ object TableCatalog {
   private def manifestFile(table: String, id: Int): Path =
     metaDir(table).resolve(s"snap-$id.json")
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-
-  /** Inverse of [[jstr]] for an already-unquoted body. */
-  private def junstr(s: String): String = {
-    val out = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
-        case 'u' => out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-        case c => out += c; i += 2
-      } else { out += s(i); i += 1 }
-    }
-    out.toString
-  }
+  private def jstr(s: String): String = graft.plans.Jsonl.jstr(s)
+  private def junstr(s: String): String = graft.plans.Jsonl.junstr(s)
 
   private def jOptStr(v: Option[String]): String = v.fold("null")(jstr)
 

@@ -62,8 +62,27 @@ object EventStream {
             for (e <- evs) {
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+                  // In or within-gap of the open session. The span only ever
+                  // WIDENS: an in-watermark out-of-order event from a later
+                  // micro-batch can have t < s.last (or < s.start), and
+                  // overwriting `last` with it would rewind the session end
+                  // and its event-time timeout, emitting a shrunken session
+                  // the batch form (global sort) never produces.
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) if t < s.start =>
+                  // Above-watermark straggler OLDER than the open session by
+                  // more than the gap: a separate, earlier session. Emitted
+                  // as a singleton immediately — by the time the open
+                  // session exists, no future event can bridge the two, and
+                  // holding a second open session per key would unbound the
+                  // state. (Approximation: two such stragglers within a gap
+                  // of each other emit as two singletons where the batch
+                  // form merges them — they'd have to be later than the
+                  // watermark yet more than a gap older than the open
+                  // session's start.)
+                  out += Session(uid, t, t, 1, e.value)
                 case Some(s) =>
                   out += Session(uid, s.start, s.last, s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))

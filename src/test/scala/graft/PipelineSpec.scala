@@ -347,6 +347,39 @@ class MultimodalSpec extends SparkTest {
     assert(small.pixels.toSet.subsetOf(px.toSet))
   }
 
+  test("truncated P6 raster is rejected, never zero-padded into black pixels") {
+    val px = Array.tabulate(10 * 6 * 3)(i => ((i * 7) % 256).toByte)
+    val full = Multimodal.Ppm.encode(Multimodal.Ppm.Image(10, 6, px))
+    // header claims 10x6 but half the raster is missing: copyOfRange would
+    // silently fabricate a black bottom half for downstream features/dedup
+    val truncated = full.take(full.length - 10 * 3 * 3)
+    val ex = intercept[IllegalArgumentException](Multimodal.Ppm.decode(truncated))
+    assert(ex.getMessage.contains("truncated"), ex.getMessage)
+  }
+
+  test("zero-frame video: sampleFrames emits no rows instead of crashing the task") {
+    val s = spark; import s.implicits._
+    val empty = Multimodal.Avi.encode(
+      Multimodal.Avi.Video(4, 4, 10, Vector.empty))
+    assert(Multimodal.Avi.decode(empty).frames.isEmpty) // valid empty movi
+    val decoded = Seq(
+      Multimodal.DecodedAsset(1L, "video", 4, 4, 0, empty)).toDS()
+    assert(Multimodal.sampleFrames(decoded, k = 4).count() == 0)
+  }
+
+  test("VectorDot: mismatched vector lengths yield null, not a partial dot") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f, 1.0f)), // equal dims
+      (2L, Array(1.0f, 2.0f), Array(1.0f, 1.0f, 1.0f))        // corrupt short row
+    ).toDF("id", "a", "b")
+      .select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(df(1L).contains(6.0))
+    assert(df(2L).isEmpty, s"short row produced a plausible-but-wrong ${df(2L)}")
+  }
+
   test("WAV codec round-trips PCM16 and survives unknown chunks") {
     val samples = Array.tabulate(400)(i => (math.sin(i * 0.1) * 9000).toShort)
     val bytes = Multimodal.Wav.encode(Multimodal.Wav.Audio(1, 8000, samples))

@@ -95,6 +95,41 @@ class StreamingSpec extends SparkTest {
       s"only ${streamedClosed.size} of ${batch.size} sessions emitted")
   }
 
+  test("sessionize never rewinds on an in-watermark out-of-order event") {
+    // An above-watermark event from a LATER micro-batch that lands INSIDE
+    // (or within-gap of) the open session must widen the span, not rewind
+    // it: the old unconditional `last = t` shrank the session end, and a
+    // following event then split it into a Session(endMs < startMs) the
+    // batch form (global sort) never produces.
+    val s = spark; import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStream.Event]
+    val gapMs = 30 * 60 * 1000L
+    val q = EventStream.sessionize(
+        mem.toDS().withWatermark("ts", "2 hours").as[EventStream.Event], gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo")
+      .start()
+    def ev(id: Long, minute: Long) = EventStream.Event(
+      id, new java.sql.Timestamp(minute * 60000L), 7L, "view", 1.0)
+    mem.addData(ev(1, 630)) // 10:30 opens the session
+    q.processAllAvailable()
+    mem.addData(ev(2, 605)) // 10:05 — out of order, above watermark, in gap
+    q.processAllAvailable()
+    mem.addData(ev(3, 645)) // 10:45 — in gap of the TRUE session end (10:30)
+    q.processAllAvailable()
+    mem.addData(ev(4, 900)) // 15:00 — gap exceeded: closes + emits the session
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_ooo").select("startMs", "endMs", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sessions.forall { case (st, en, _) => en >= st },
+      s"emitted a rewound session (endMs < startMs): $sessions")
+    assert(sessions == Set((605 * 60000L, 645 * 60000L, 3)),
+      s"expected the widened [10:05, 10:45] n=3 session, got $sessions")
+  }
+
   test("stream-stream interval join (views before purchases) == batch join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
