@@ -37,7 +37,14 @@ object SccCli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: SccCli <graph-file> [full|induced] [cores]")
-    val mode = if (args.length > 1 && args(1) == "full") Scc.FullGraph else Scc.InducedU
+    // the two modes return DIFFERENT accepted sets — a typo must be a usage
+    // error, never a silent fallback to induced semantics
+    val mode = args.drop(1).headOption match {
+      case None | Some("induced") => Scc.InducedU
+      case Some("full") => Scc.FullGraph
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown mode '$other' — usage: SccCli <graph-file> [full|induced] [cores]")
+    }
     val cores = if (args.length > 2) args(2).toInt else 4
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("ERROR")

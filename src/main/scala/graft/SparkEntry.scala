@@ -177,8 +177,14 @@ object SparkEntry {
       val l = docs.select(col("doc_id").as("a"), col("sh").as("shA"))
       val r = docs.select(col("doc_id").as("b"), col("sh").as("shB"))
       l.join(r, col("a") < col("b"))
-        .select(col("a"), col("b"), round(Dedup.jaccard(col("shA"), col("shB")), 6).as("jaccard"))
-        .filter(col("jaccard") > 0)
+        // filter on the UNROUNDED jaccard (== shared-shingle test), matching
+        // the oracle's `inter > 0`: a true jaccard in (0, 5e-7) rounds to
+        // 0.000000 and would otherwise be dropped here but kept (as 0.0) by
+        // the oracle — a row-count mismatch at a pure display-rounding
+        // boundary
+        .select(col("a"), col("b"), Dedup.jaccard(col("shA"), col("shB")).as("j"))
+        .filter(col("j") > 0)
+        .select(col("a"), col("b"), round(col("j"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
 

@@ -43,13 +43,12 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // the shared factory, NOT a hand-rolled builder: correctness must be
+    // verified under the SAME configs (AQE, skew-join, broadcast threshold)
+    // the bench and tests run with, or a plan-dependent bug in the benched
+    // configuration could pass verification under different physical plans
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Hand the q_import_edges oracle the exact code table the query reads

@@ -368,17 +368,22 @@ object Scc {
     /** Newest durable round, if any: (live, fragments, round, liveCount). */
     def resume(): Option[(DataFrame, Seq[DataFrame], Int, Long)] = {
       if (!java.nio.file.Files.exists(manifest)) return None
+      // live path written jstr-escaped ⇒ captured with the escaped-string
+      // pattern and unescaped below (same asymmetry fix as Superstep.resume)
       val re =
-        """"round":(\d+),"liveCount":(\d+),"parts":\[([0-9,]*)\],"live":"([^"]+)"""".r.unanchored
-      scala.jdk.CollectionConverters
-        .ListHasAsScala(java.nio.file.Files.readAllLines(manifest)).asScala
+        """"round":(\d+),"liveCount":(\d+),"parts":\[([0-9,]*)\],"live":"((?:[^"\\]|\\.)+)"""".r.unanchored
+      // A torn FINAL line is the expected crash-mid-append artifact —
+      // truncated off (WAL-style) so this resume AND every later one see a
+      // clean manifest. Every OTHER parse failure means corruption or a
+      // manifest from an incompatible release, where a silent skip would
+      // resume from the wrong round: fail with the recovery step.
+      val lines = graft.plans.Jsonl.repairTornTail(manifest,
+        l => l.isBlank || re.findFirstIn(l).isDefined)
+      lines
         .flatMap {
-          case re(r, lc, idxs, lp) => Some((r.toInt, lc.toLong, idxs, lp))
+          case re(r, lc, idxs, lp) =>
+            Some((r.toInt, lc.toLong, idxs, graft.plans.Jsonl.junstr(lp)))
           case l if l.isBlank => None
-          // Every line is a writeRound line: a parse failure means
-          // corruption OR a manifest written by an older release with a
-          // different field layout — either way, silently skipping it would
-          // resume from the wrong round, so fail with the recovery step.
           case l => throw new IllegalStateException(
             s"unparseable SCC round manifest line in $manifest: $l " +
               "(corrupt, or written by an incompatible engine version — " +

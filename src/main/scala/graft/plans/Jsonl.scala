@@ -19,6 +19,26 @@ object Jsonl {
       case c => c.toString
     } + "\""
 
+  /** Crash-mid-append recovery for a JSONL manifest: if (only) the FINAL
+    * line fails `parses`, it is the torn tail a killed writer leaves —
+    * truncate it off the file (WAL-style repair, so later appends leave a
+    * clean manifest instead of a permanently-unparseable mid-file line)
+    * and return the surviving lines. Every other parse failure is left for
+    * the caller to fail loudly on. Single-writer manifests only.
+    */
+  def repairTornTail(
+      p: java.nio.file.Path, parses: String => Boolean): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq
+    if (lines.nonEmpty && !parses(lines.last) && lines.init.forall(parses)) {
+      graft.Log.v(s"resume: truncating torn final manifest line in $p")
+      java.nio.file.Files.write(p,
+        lines.init.mkString("", "\n", if (lines.init.isEmpty) "" else "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      lines.init
+    } else lines
+  }
+
   /** Inverse of [[jstr]] for an already-unquoted body. */
   def junstr(s: String): String = {
     val out = new StringBuilder(s.length)

@@ -105,16 +105,26 @@ final class Superstep(
   /** Newest durable snapshot, if any: (state, next iteration to run). */
   def resume(): Option[(DataFrame, Int)] =
     manifestPath.filter(Files.exists(_)).flatMap { p =>
-      val snapRe = """"iter":(\d+).*"snapshot":"([^"]+)"""".r.unanchored
+      // the snapshot path was written jstr-escaped, so it must be captured
+      // with the escaped-string pattern and UNESCAPED on the way out — the
+      // old [^"]+ capture returned still-escaped text (or truncated at an
+      // escaped quote) for exactly the paths the escaping protects
+      val snapRe = """"iter":(\d+).*"snapshot":"((?:[^"\\]|\\.)+)"""".r.unanchored
       // No-snapshot iterations are legitimately snapshot-less; anything else
       // that fails to parse is a corrupt manifest and must fail loudly — a
       // silent skip would resume from an OLDER iteration and redo work
-      // against state the newer iterations already mutated durably.
+      // against state the newer iterations already mutated durably. The ONE
+      // exception is a torn FINAL line: a crash mid-append leaves exactly
+      // that artifact, it carries no more durable state than a no-snapshot
+      // line, and resume already redoes the tail iterations — so crash
+      // recovery (this method's whole purpose) must tolerate it.
       val noSnapRe = """"iter":\d+.*"snapshot":null""".r.unanchored
-      scala.jdk.CollectionConverters
-        .ListHasAsScala(Files.readAllLines(p)).asScala
+      def parses(l: String): Boolean =
+        l.isBlank || snapRe.findFirstIn(l).isDefined || noSnapRe.findFirstIn(l).isDefined
+      val lines = Jsonl.repairTornTail(p, parses)
+      lines
         .flatMap {
-          case snapRe(i, path) => Some((i.toInt, path))
+          case snapRe(i, path) => Some((i.toInt, Jsonl.junstr(path)))
           case noSnapRe() => None
           case l if l.isBlank => None
           case l => throw new IllegalStateException(

@@ -253,10 +253,15 @@ object TableCatalog {
     // Hint-gap fallback (ADVICE r4): a racing older committer can regress
     // the hint by more than one id; if retention then deleted the hinted
     // manifest AND its successor, the forward probe stops inside the
-    // expired gap and misses the newer committed snapshots. Recover with
-    // ONE bounded listing of the METADATA dir (a handful of snap-N.json
-    // files — never the data tree).
-    if (id >= 0 && !Files.exists(manifestFile(table, id))) {
+    // expired gap and misses the newer committed snapshots. The MISSING-hint
+    // case needs the same rescue: with no hint and snap-0 expired, the probe
+    // lands on -1 and the table would read as empty — worse, the next commit
+    // would CAS-claim snap-0 and its rows would be permanently shadowed by
+    // the forward probe stopping at the old gap. Recover with ONE bounded
+    // listing of the METADATA dir (a handful of snap-N.json files — never
+    // the data tree); a genuinely-empty table (id == -1, no snap-0) takes
+    // the fallback too and short-circuits on the isDirectory test inside.
+    if (!Files.exists(manifestFile(table, math.max(id, 0)))) {
       val snapRe = """snap-(\d+)\.json""".r
       val dir = metaDir(table)
       id =
@@ -377,7 +382,15 @@ object TableCatalog {
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
-            val p = new java.net.URI(r.getAs[String]("file")).getPath
+            // hadoop Path, not java.net.URI: input_file_name() is a Hadoop
+            // URI whose raw spaces would throw URISyntaxException AFTER the
+            // full data write. Keyed absolute+normalized to match the
+            // lookup below — the old raw-getPath key silently missed every
+            // file of a RELATIVE table path, recording no stats at all
+            // (pruning no-op, clustering cost paid for nothing, no error).
+            val p = java.nio.file.Paths.get(
+              new org.apache.hadoop.fs.Path(r.getAs[String]("file")).toUri.getPath)
+              .toAbsolutePath.normalize.toString
             val bounds = statCols.flatMap { c =>
               (Option(r.getAs[Any](s"lo_$c")), Option(r.getAs[Any](s"hi_$c"))) match {
                 case (Some(lo), Some(hi)) =>
@@ -398,7 +411,10 @@ object TableCatalog {
       .filter(p => p.toString.endsWith(".parquet"))
       .map { p =>
         val lang = p.getParent.getFileName.toString.stripPrefix("lang=")
-        ManifestEntry(p.toString, lang, statsByPath.getOrElse(p.toString, Map.empty))
+        // stats lookup by the same absolute+normalized key the collect
+        // above recorded (entry paths keep the caller's table-path form)
+        ManifestEntry(p.toString, lang,
+          statsByPath.getOrElse(p.toAbsolutePath.normalize.toString, Map.empty))
       }
       .toSeq).sortBy(_.path)
     Files.createDirectories(metaDir(table))

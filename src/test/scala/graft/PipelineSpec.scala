@@ -695,11 +695,21 @@ class SuperstepResumeSpec extends SparkTest {
     val Some((_, startIter)) = h2.resume()
     assert(startIter == 2)
 
-    // Any other unparseable line is corruption → loud failure, never a
-    // silent resume from an older iteration.
-    java.nio.file.Files.writeString(manifest, "not json at all\n",
+    // A torn FINAL line is the crash-mid-append artifact resume exists to
+    // recover from: tolerated, resume lands on the previous intact snapshot.
+    java.nio.file.Files.writeString(manifest, "{\"name\":\"toy\",\"iter\":9,\"chan",
       java.nio.file.StandardOpenOption.APPEND)
     val h3 = new graft.plans.Superstep(spark, "toy", Some(dir), snapshotEvery = 1)
-    assertThrows[IllegalStateException](h3.resume())
+    val Some((_, startIter3)) = h3.resume()
+    assert(startIter3 == 2)
+
+    // Any other unparseable line (non-final — real corruption or a
+    // version-skewed manifest) → loud failure, never a silent resume from
+    // an older iteration.
+    java.nio.file.Files.writeString(manifest,
+      "not json at all\n{\"name\":\"toy\",\"iter\":8,\"changed\":1,\"wallMs\":1,\"snapshot\":null}\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val h4 = new graft.plans.Superstep(spark, "toy", Some(dir), snapshotEvery = 1)
+    assertThrows[IllegalStateException](h4.resume())
   }
 }

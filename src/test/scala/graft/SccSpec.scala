@@ -421,10 +421,25 @@ class SccSpec extends SparkTest {
         localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
     }
     val manifest = java.nio.file.Paths.get(dir, "scc.manifest.jsonl")
-    java.nio.file.Files.writeString(manifest, "garbage line\n",
+    // A torn FINAL line (crash mid-append) is the artifact resume exists
+    // to recover from: tolerated AND truncated off, so the resumed run
+    // leaves a clean manifest behind.
+    java.nio.file.Files.writeString(manifest, "{\"round\":1,\"liveCou",
       java.nio.file.StandardOpenOption.APPEND)
-    // resuming over a corrupted manifest must throw — silently skipping the
-    // bad line would redo round 0 against durable state round 1 already saw
+    val run = Scc.components(spark, e, v,
+      localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
+    assert(run.assignedCount == v.count())
+    run.release()
+    import scala.jdk.CollectionConverters._
+    assert(java.nio.file.Files.readAllLines(manifest).asScala
+      .forall(l => !l.endsWith("liveCou")),
+      "torn line should have been truncated off the manifest")
+    // A NON-final unparseable line is real corruption (or a version-skewed
+    // manifest): resuming must throw — silently skipping the bad line
+    // would redo rounds against durable state later rounds already saw.
+    val valid = java.nio.file.Files.readAllLines(manifest).asScala.head
+    java.nio.file.Files.writeString(manifest, s"garbage line\n$valid\n",
+      java.nio.file.StandardOpenOption.APPEND)
     assertThrows[IllegalStateException] {
       Scc.components(spark, e, v,
         localSolveEdgeThreshold = 0, snapshotDir = Some(dir))
