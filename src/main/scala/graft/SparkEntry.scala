@@ -678,12 +678,12 @@ object SparkEntry {
         |refs AS (
         |  SELECT fileId AS src,
         |    unnest(regexp_extract_all(content,
-        |      CASE WHEN lang = 'c' THEN '#include "(f[0-9]{9})\\.h"'
-        |           WHEN lang = 'py' THEN 'import (f[0-9]{9})'
-        |           ELSE 'import pkg\\.(f[0-9]{9})' END, 1)) AS stem
+        |      CASE WHEN lang = 'c' THEN '#include "(f[0-9]{9,})\\.h"'
+        |           WHEN lang = 'py' THEN 'import (f[0-9]{9,})'
+        |           ELSE 'import pkg\\.(f[0-9]{9,})' END, 1)) AS stem
         |  FROM files),
         |stems AS (
-        |  SELECT regexp_extract(path, '(f[0-9]{9})', 1) AS stem, fileId AS dst
+        |  SELECT regexp_extract(path, '(f[0-9]{9,})', 1) AS stem, fileId AS dst
         |  FROM files),
         |e2 AS (SELECT DISTINCT src, dst FROM refs JOIN stems USING (stem))
         |SELECT f.lang, count(*) AS n_edges
@@ -715,12 +715,12 @@ object SparkEntry {
         |refs AS (
         |  SELECT fileId AS src,
         |    unnest(regexp_extract_all(content,
-        |      CASE WHEN lang = 'c' THEN '#include "(f[0-9]{9})\\.h"'
-        |           WHEN lang = 'py' THEN 'import (f[0-9]{9})'
-        |           ELSE 'import pkg\\.(f[0-9]{9})' END, 1)) AS stem
+        |      CASE WHEN lang = 'c' THEN '#include "(f[0-9]{9,})\\.h"'
+        |           WHEN lang = 'py' THEN 'import (f[0-9]{9,})'
+        |           ELSE 'import pkg\\.(f[0-9]{9,})' END, 1)) AS stem
         |  FROM files),
         |stems AS (
-        |  SELECT regexp_extract(path, '(f[0-9]{9})', 1) AS stem, fileId AS dst
+        |  SELECT regexp_extract(path, '(f[0-9]{9,})', 1) AS stem, fileId AS dst
         |  FROM files),
         |e2 AS (SELECT DISTINCT src, dst FROM refs JOIN stems USING (stem)),
         |s0 AS (

@@ -61,7 +61,9 @@ object CodeTable {
       .join(adj, Seq("fileId"), "left")
       .withColumn("refs", coalesce(col("refs"), array()))
       .withColumn("lang", langOf(col("fileId")))
-      .withColumn("repo", format_string("repo%05d", (col("fileId") / filesPerRepo).cast("long")))
+      // integer div (Spark's `/` on longs is floating-point — exact only
+      // below ~2^52; `div` holds at any fileId)
+      .withColumn("repo", format_string("repo%05d", expr(s"fileId div $filesPerRepo")))
       .withColumn("path",
         concat(format_string("src/f%09d.", col("fileId")),
           element_at(typedLit(extOf), col("lang"))))
@@ -100,12 +102,12 @@ object CodeTable {
       StructType(cols))
   }
 
-  /** Regexes per language; group 1 captures the referenced stem `f\d{9}`. */
+  /** Regexes per language; group 1 captures the referenced stem `f\d{9,}`. */
   private val importRe = Map(
-    "scala" -> "import pkg\\.(f[0-9]{9})",
-    "java" -> "import pkg\\.(f[0-9]{9})",
-    "py" -> "import (f[0-9]{9})",
-    "c" -> "#include \"(f[0-9]{9})\\.h\"")
+    "scala" -> "import pkg\\.(f[0-9]{9,})",
+    "java" -> "import pkg\\.(f[0-9]{9,})",
+    "py" -> "import (f[0-9]{9,})",
+    "c" -> "#include \"(f[0-9]{9,})\\.h\"")
 
   /** Derive the edge table (src, dst) from import/include references.
     * `files` needs (fileId, path, lang, content). Resolution: stem of each
@@ -120,7 +122,7 @@ object CodeTable {
       .select(col("fileId").as("src"),
         explode(regexp_extract_all(col("content"), pattern, lit(1))).as("stem"))
     val stems = files.select(
-      regexp_extract(col("path"), "(f[0-9]{9})", 1).as("stem"),
+      regexp_extract(col("path"), "(f[0-9]{9,})", 1).as("stem"),
       col("fileId").as("dst"))
     refs.join(stems, Seq("stem")).select("src", "dst").distinct()
   }

@@ -54,16 +54,27 @@ final case class MidTestSpec(
 
 object GraphGen {
 
+  /** The c/pos/len cycle-assignment columns shared by [[edges]] and
+    * [[vertices]] — ONE copy of the algebra so the two can never silently
+    * diverge, and in the LONG domain end-to-end: `id div b` is exact
+    * integer division at any id, where the old double `/` (Spark's `/` on
+    * longs is floating-point) rounds ids past ~2^52/b into the NEIGHBORING
+    * cycle's block, making edges and vertices disagree on membership.
+    */
+  private def withCycleCols(
+      df: DataFrame, spec: GraphSpec): DataFrame = {
+    val b = lit(spec.blockSize.toLong)
+    df.withColumn("c", expr(s"id div ${spec.blockSize}"))
+      .withColumn("pos", col("id") % b)
+      .withColumn("len", lit(2L) + pmod(xxhash64(lit(spec.seed), col("c")), b - 1))
+  }
+
   /** Distinct directed edges (src: long, dst: long), no self-loops. */
   def edges(spark: SparkSession, spec: GraphSpec): DataFrame = {
     val b = lit(spec.blockSize.toLong)
     val n = spec.numVertices
 
-    val cycleEdges = spark
-      .range(n)
-      .withColumn("c", col("id") / b cast "long")
-      .withColumn("pos", col("id") % b)
-      .withColumn("len", lit(2L) + pmod(xxhash64(lit(spec.seed), col("c")), b - 1))
+    val cycleEdges = withCycleCols(spark.range(n).toDF(), spec)
       .filter(col("pos") < col("len"))
       .select(
         col("id").as("src"),
@@ -129,8 +140,13 @@ object GraphGen {
     val all = cycleEdges.unionByName(randomArcs)
       .filter(col("src") =!= col("dst"))
       .distinct()
-    // remove K pseudo-random arcs: the K smallest under an order-free hash
-    val k = (spec.arcsToRemovePerCycle * spec.numCycles).toInt
+    // remove K pseudo-random arcs: the K smallest under an order-free hash.
+    // Computed in the LONG domain — the old .toInt on the product wrapped
+    // negative past ~120M cycles and limit() throws on a negative argument
+    val kL = spec.arcsToRemovePerCycle.toLong * spec.numCycles
+    require(kL >= 0 && kL <= Int.MaxValue,
+      s"arcsToRemovePerCycle*numCycles = $kL exceeds limit()'s Int range")
+    val k = kL.toInt
     val removed = all
       .orderBy(xxhash64(lit(spec.seed + 3), col("src"), col("dst")))
       .limit(k)
@@ -146,12 +162,7 @@ object GraphGen {
 
   /** Vertex table (id: long, isU: boolean). */
   def vertices(spark: SparkSession, spec: GraphSpec): DataFrame = {
-    val b = lit(spec.blockSize.toLong)
-    spark
-      .range(spec.numVertices)
-      .withColumn("c", col("id") / b cast "long")
-      .withColumn("pos", col("id") % b)
-      .withColumn("len", lit(2L) + pmod(xxhash64(lit(spec.seed), col("c")), b - 1))
+    withCycleCols(spark.range(spec.numVertices).toDF(), spec)
       .select(
         col("id"),
         ((col("pos") < col("len") && pmod(xxhash64(lit(spec.seed + 3), col("c")), lit(2)) === 0) ||

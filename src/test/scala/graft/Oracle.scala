@@ -68,13 +68,15 @@ object Oracle {
   def acceptedComps(
       vertices: Seq[Long], edges: Seq[(Long, Long)], u: Set[Long]): Set[Long] = {
     val comp = tarjan(vertices, edges)
-    val sizes = comp.values.groupBy(identity).map { case (c, xs) => c -> xs.size }
-    comp.values.toSet.filter { c =>
-      val members = comp.collect { case (v, cc) if cc == c => v }.toSet
-      sizes(c) >= 2 &&
-      members.subsetOf(u) &&
-      !edges.exists { case (s, d) => members(d) && !members(s) && u(s) }
-    }
+    // grouped one-pass form: the per-component rescan of comp+edges was
+    // O(C·(V+E)) and dominated oracle time on many-component fixtures
+    val membersByComp = comp.groupBy(_._2).map { case (c, m) => c -> m.keySet }
+    val killed = edges.collect {
+      case (s, d) if u(s) && comp.contains(d) && comp.get(s) != comp.get(d) => comp(d)
+    }.toSet
+    membersByComp.collect {
+      case (c, ms) if ms.size >= 2 && ms.subsetOf(u) && !killed(c) => c
+    }.toSet
   }
 
   /** Reference-engine semantics: SCCs of G[U], killed when any U vertex
@@ -85,12 +87,14 @@ object Oracle {
     val uVerts = vertices.filter(u)
     val uEdges = edges.filter { case (s, d) => u(s) && u(d) }
     val comp = tarjan(uVerts, uEdges)
-    val sizes = comp.values.groupBy(identity).map { case (c, xs) => c -> xs.size }
-    comp.values.toSet.filter { c =>
-      val members = comp.collect { case (v, cc) if cc == c => v }.toSet
-      sizes(c) >= 2 &&
-      !edges.exists { case (s, d) => members(d) && !members(s) && u(s) }
-    }
+    // same grouped one-pass form as acceptedComps
+    val membersByComp = comp.groupBy(_._2).map { case (c, m) => c -> m.keySet }
+    val killed = edges.collect {
+      case (s, d) if u(s) && comp.contains(d) && comp.get(s) != comp.get(d) => comp(d)
+    }.toSet
+    membersByComp.collect {
+      case (c, ms) if ms.size >= 2 && !killed(c) => c
+    }.toSet
   }
 
   /** Union-find WCC: id -> min member id of its weak component. */
@@ -137,7 +141,6 @@ object Oracle {
   def triangles(edges: Seq[(Long, Long)]): Long = {
     val und = edges.filter { case (a, b) => a != b }
       .flatMap { case (a, b) => Seq((math.min(a, b), math.max(a, b))) }.toSet
-    val verts = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
     val nbrs = (und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
     var cnt = 0L
