@@ -247,12 +247,24 @@ object Dedup {
     val v = embs.select(id.as("id"), vec.as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)))
+    // The join's COMPUTE is Θ(n²) dot products while its input BYTES are
+    // O(n·blocks) — AQE's byte-based partition coalescing therefore folds
+    // the whole block grid into one or two post-shuffle partitions and
+    // serializes the quadratic work (measured: 5 tasks / 5.3 task-sec ≈
+    // wall at sf0.1). An EXPLICIT partition count on the block-pair key is
+    // the documented way to pin compute-heavy exchanges: AQE never
+    // coalesces user-specified repartitions, and both sides sharing the
+    // same (pa, pb) hash partitioning means the join adds no exchange of
+    // its own. blocks² pairs spread uniformly over ~cores partitions.
+    val parts = math.max(embs.sparkSession.sparkContext.defaultParallelism, blocks)
     val l = v.select(col("id").as("a"), col("v").as("va"), col("norm").as("na"),
         col("blk").as("pa"))
       .withColumn("pb", explode(sequence(lit(0L), lit(blocks - 1L))))
+      .repartition(parts, col("pa"), col("pb"))
     val r = v.select(col("id").as("b"), col("v").as("vb"), col("norm").as("nb"),
         col("blk").as("pb"))
       .withColumn("pa", explode(sequence(lit(0L), lit(blocks - 1L))))
+      .repartition(parts, col("pa"), col("pb"))
     l.join(r, Seq("pa", "pb"))
       .filter(col("a") < col("b"))
       .withColumn("cosine",
