@@ -46,6 +46,101 @@ class TextAnalysisSpec extends SparkTest {
     Seq(text).toDF("text")
   }
 
+  // The round-6 native TextProfile kernel must be value-identical to the
+  // original higher-order-function column algebra it replaced (the DuckDB
+  // oracles pin these exact values). These are the pre-round-6 forms,
+  // kept verbatim as the in-repo reference implementation.
+  object OldForms {
+    import org.apache.spark.sql.Column
+    def tokens(text: Column): Column =
+      filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    def tokenCount(text: Column): Column = size(tokens(text))
+    def subwordCount(text: Column): Column =
+      size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    def alphaRatio(text: Column): Column = {
+      val nonSpace = length(regexp_replace(text, "\\s", ""))
+      val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+      when(nonSpace > 0, alpha.cast("double") / nonSpace).otherwise(0.0)
+    }
+    def punctRatio(text: Column): Column = {
+      val nonSpace = length(regexp_replace(text, "\\s", ""))
+      val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+      when(nonSpace > 0, punct.cast("double") / nonSpace).otherwise(0.0)
+    }
+    def stopwordRatio(text: Column): Column = {
+      val toks = tokens(lower(text))
+      val hits = filter(toks, t => array_contains(typedLit(TextAnalysis.stopwords), t))
+      when(size(toks) > 0, size(hits).cast("double") / size(toks)).otherwise(0.0)
+    }
+    def meanTokenLen(text: Column): Column = {
+      val toks = tokens(text)
+      when(size(toks) > 0,
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+        .otherwise(0.0)
+    }
+    def qualityScore(text: Column): Column = {
+      val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+      val wordLen = meanTokenLen(text)
+      val wordLenScore = when(wordLen >= 3 && wordLen <= 10, 1.0).otherwise(0.5)
+      val punctScore = when(punctRatio(text) < 0.2, 1.0).otherwise(0.3)
+      round(
+        (lenScore * 0.3 + alphaRatio(text) * 0.3 + wordLenScore * 0.2 + punctScore * 0.2),
+        6)
+    }
+    def langId(text: Column): Column = {
+      val toks = tokens(lower(text))
+      val scores = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+        struct(
+          size(filter(toks, t => array_contains(typedLit(markers), t))).as("hits"),
+          lit(lang).as("lang"))
+      }
+      val best = array_max(array(scores: _*))
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    }
+    def fingerprint(text: Column): Column =
+      xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
+    def rollingHash(text: Column): Column =
+      aggregate(
+        tokens(lower(text)),
+        lit(0L),
+        (acc, t) => pmod(shiftleft(acc, 5) - acc + pmod(xxhash64(t), lit(1L << 30)),
+          lit(1L << 56)))
+  }
+
+  test("native TextProfile kernel is value-identical to the HOF column forms") {
+    val s = spark; import s.implicits._
+    val tricky = Seq(
+      "", " ", "\t\n\f\r", "a", "a b  c", "  leading", "trailing  ",
+      "the the THE tHe", "punct!!! ... ??? ~`@#$%^&*()_+-=[]{}|;':\",./<>?",
+      "digits 123 4567890 mix3d t0kens", "le la les des est que une dans",
+      "el perro y la casa de los gatos es una", "的 是 了 在 我 有",
+      "中文没有空格的长句子测试", "MiXeD CaSe ÜÑÎÇØDÉ tëxt", "İstanbul DİYARBAKIR",
+      "ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΎΣ", "emoji 😀😀 test 🎉", "tab\tseparated\ttokens",
+      "verylongtokenwithoutanyspacesatallllllllllllll",
+      "a-b-c a.b.c a_b_c", "1 22 333 4444 55555",
+      "wort wörter straße STRASSE", "der die das und ist nicht ein mit")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(tricky.toDF("text"))
+    val t = col("text")
+    val cmp = docs.select(
+      (TextAnalysis.tokenCount(t) <=> OldForms.tokenCount(t)).as("c1"),
+      (TextAnalysis.subwordCount(t) <=> OldForms.subwordCount(t)).as("c2"),
+      (TextAnalysis.alphaRatio(t) <=> OldForms.alphaRatio(t)).as("c3"),
+      (TextAnalysis.punctRatio(t) <=> OldForms.punctRatio(t)).as("c4"),
+      (TextAnalysis.stopwordRatio(t) <=> OldForms.stopwordRatio(t)).as("c5"),
+      (TextAnalysis.meanTokenLen(t) <=> OldForms.meanTokenLen(t)).as("c6"),
+      (TextAnalysis.qualityScore(t) <=> OldForms.qualityScore(t)).as("c7"),
+      (TextAnalysis.langId(t) <=> OldForms.langId(t)).as("c8"),
+      (TextAnalysis.fingerprint(t) <=> OldForms.fingerprint(t)).as("c9"),
+      (TextAnalysis.rollingHash(t) <=> OldForms.rollingHash(t)).as("c10"),
+      t)
+    val bad = cmp.filter(!col("c1") || !col("c2") || !col("c3") || !col("c4") ||
+      !col("c5") || !col("c6") || !col("c7") || !col("c8") || !col("c9") || !col("c10"))
+    val rows = bad.collect()
+    assert(rows.isEmpty, s"kernel/HOF divergence on: ${rows.take(5).mkString("; ")}")
+  }
+
   test("tokenCount") {
     assert(one("a b  c").select(TextAnalysis.tokenCount(col("text"))).head().getInt(0) == 3)
     assert(one("   ").select(TextAnalysis.tokenCount(col("text"))).head().getInt(0) == 0)
