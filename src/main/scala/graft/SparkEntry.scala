@@ -362,8 +362,14 @@ object SparkEntry {
         java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(java.nio.file.Files.delete)
       }
+      // REBALANCE before the write (guide §6): AQE sizes the write
+      // partitions by bytes — one partition for this tiny table, advisory-
+      // sized chunks at scale — so the commit lands 4 files (one per lang)
+      // instead of 32 input partitions × 4 langs = 128 tiny files, whose
+      // per-file open cost dominated every downstream read (stats agg +
+      // manifest scan ran ~260 tasks for ~500 rows).
       graft.sources.TableCatalog.commitOverwrite(s, Verify.auxCatalogTablePath,
-        CodeTable.generate(s, spec))
+        CodeTable.generate(s, spec).hint("rebalance"))
       graft.sources.TableCatalog.scan(s, Verify.auxCatalogTablePath,
         langs = Some(Seq("c", "py")))
         .select(col("fileId").as("file_id"), col("lang"), col("sha"))
@@ -413,7 +419,9 @@ object SparkEntry {
           .iterator().asScala.foreach(java.nio.file.Files.delete)
       }
       val spec = GraphSpec(numCycles = 64, maxCycleLen = 8, extraArcsPerVertex = 0.4, seed = 42L)
-      graft.sources.TableCatalog.commitOverwrite(s, t, CodeTable.generate(s, spec))
+      // rebalance-before-write on both generations: see q_catalog_scan
+      graft.sources.TableCatalog.commitOverwrite(s, t,
+        CodeTable.generate(s, spec).hint("rebalance"))
       graft.sources.TableCatalog.renameColumn(t, "repo", "repository")
       graft.sources.TableCatalog.addColumn(t, "stars", "bigint")
       val batch2 = CodeTable.generate(s,
@@ -421,7 +429,7 @@ object SparkEntry {
         .withColumn("fileId", col("fileId") + 100000L) // disjoint ids → stable sort
         .withColumnRenamed("repo", "repository")
         .withColumn("stars", col("fileId") % 50)
-      graft.sources.TableCatalog.commitAppend(s, t, batch2)
+      graft.sources.TableCatalog.commitAppend(s, t, batch2.hint("rebalance"))
       graft.sources.TableCatalog.scan(s, t)
         .select(col("fileId").as("file_id"), col("repository"), col("stars"),
           col("lang"), col("sha"))
