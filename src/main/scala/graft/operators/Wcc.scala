@@ -92,30 +92,32 @@ object Wcc {
 
     var prevSig: Option[(Long, Long)] = None
     var prevState: DataFrame = null
-    val (links, metrics) = harness.run(links0, maxIter) { (st, _) =>
+    // The (xor-hash, count) signature rides the checkpoint materialization
+    // (Superstep sigCols path) — round 6 removed the separate full-scan
+    // signature aggregate job this used to cost per round.
+    val (links, metrics) = harness.run(links0, maxIter,
+      sigCols = Some(Seq("u", "v")),
+      sigChanged = { (next, rows, hash) =>
+        val sig = (hash, rows)
+        // The 64-bit signature alone leaves a ~2^-64/round early-termination
+        // window (an xor-hash collision). On FIRST stability, one exact
+        // confirmation closes it: counts already match (part of sig) and both
+        // sides are distinct link sets, so one-direction set difference being
+        // empty proves equality. Cost: one extra job per RUN, not per round.
+        val changed =
+          if (!prevSig.contains(sig)) 1L
+          else if (prevState != null &&
+            !next.select("u", "v").except(prevState.select("u", "v")).isEmpty) {
+            graft.Log.v("wcc: signature collision — exact check forced another round")
+            1L
+          } else 0L
+        graft.Log.v(s"wcc round: links=$rows changed=$changed")
+        prevSig = Some(sig)
+        changed
+      }) { (st, _) =>
       prevState = st
       (0 until roundsPerStep).foldLeft(st)((s, _) => smallStar(largeStar(s)))
-    } { next =>
-      val row = next.agg(
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
-        count(lit(1))).head()
-      val sig = (row.getLong(0), row.getLong(1))
-      // The 64-bit signature alone leaves a ~2^-64/round early-termination
-      // window (an xor-hash collision). On FIRST stability, one exact
-      // confirmation closes it: counts already match (part of sig) and both
-      // sides are distinct link sets, so one-direction set difference being
-      // empty proves equality. Cost: one extra job per RUN, not per round.
-      val changed =
-        if (!prevSig.contains(sig)) 1L
-        else if (prevState != null &&
-          !next.select("u", "v").except(prevState.select("u", "v")).isEmpty) {
-          graft.Log.v("wcc: signature collision — exact check forced another round")
-          1L
-        } else 0L
-      graft.Log.v(s"wcc round: links=${sig._2} changed=$changed")
-      prevSig = Some(sig)
-      changed
-    }
+    } { _ => 0L }
     require(metrics.nonEmpty && metrics.last.changed == 0,
       s"WCC did not converge within $maxIter rounds")
 

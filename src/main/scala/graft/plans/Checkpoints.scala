@@ -52,6 +52,16 @@ final class CheckpointArena {
     (out, n, flagged, sums, maxes)
   }
 
+  /** [[freshCounted]] that also rides a 64-bit xor content signature of the
+    * given LongType columns on the same materialization pass:
+    * (frame, rows, signature). Zero extra jobs vs a separate signature agg.
+    */
+  def freshHashSig(df: DataFrame, cols: Seq[String]): (DataFrame, Long, Long) = {
+    val (out, rdd, n, sig) = GraftShims.checkpointFreshHashSig(df, cols)
+    backing.put(out, rdd)
+    (out, n, sig)
+  }
+
   /** [[freshFlagged]] over a bit-packed IntegerType status column: flagged
     * when `(value & mask) != 0`.
     */

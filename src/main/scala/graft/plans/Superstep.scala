@@ -41,7 +41,9 @@ final class Superstep(
     * step. Returns the converged state and per-iteration metrics.
     */
   def run(state0: DataFrame, maxIter: Int, startIter: Int = 0,
-      changedCol: Option[String] = None, changedMask: Option[Int] = None)(
+      changedCol: Option[String] = None, changedMask: Option[Int] = None,
+      sigCols: Option[Seq[String]] = None,
+      sigChanged: (DataFrame, Long, Long) => Long = null)(
       step: (DataFrame, Int) => DataFrame)(
       changedOf: DataFrame => Long): (DataFrame, Vector[StepMetrics]) = {
     val (st0, state0Rows) = arena.freshCounted(state0)
@@ -72,10 +74,19 @@ final class Superstep(
           }
           changed = flagged
           n
-        case None =>
-          val n = arena.fresh(step(state, iter))
-          changed = changedOf(n)
-          n
+        case None => sigCols match {
+          case Some(cols) =>
+            // content-signature convergence (e.g. WCC's link set): the xor
+            // signature rides the checkpoint materialization, so detecting
+            // "state unchanged" costs no extra job per superstep
+            val (n, rows, sig) = arena.freshHashSig(step(state, iter), cols)
+            changed = sigChanged(n, rows, sig)
+            n
+          case None =>
+            val n = arena.fresh(step(state, iter))
+            changed = changedOf(n)
+            n
+        }
       }
       arena.release(state)
       state = next

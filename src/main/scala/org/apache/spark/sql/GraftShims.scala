@@ -158,6 +158,71 @@ object GraftShims {
       maxAccs.map(a => math.max(0L, a.value.longValue)))
   }
 
+  /** Xor-of-longs accumulator: order-free content signature. Exactly-once
+    * under retry/speculation by the same ResultStage argument as the sum
+    * accumulators (see [[flaggedImpl]]); callers additionally treat the
+    * value only as a CONVERGENCE SIGNAL confirmed by an exact set compare
+    * on first stability, so results never depend on it.
+    */
+  private final class XorAccumulator
+      extends org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long] {
+    private var _x = 0L
+    private var _any = false
+    override def isZero: Boolean = !_any
+    override def copy(): XorAccumulator = {
+      val a = new XorAccumulator; a._x = _x; a._any = _any; a
+    }
+    override def reset(): Unit = { _x = 0L; _any = false }
+    override def add(v: java.lang.Long): Unit = { _x ^= v; _any = true }
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long]): Unit = {
+      _x ^= other.value; _any = true
+    }
+    override def value: java.lang.Long = _x
+  }
+
+  /** [[checkpointFresh]] that ADDITIONALLY rides a 64-bit content signature
+    * of the given LongType columns on the materialization pass: xor over
+    * rows of the seed-42 XXH64 fold of the column values (the same fold as
+    * `xxhash64(cols…)`). An iterative algorithm whose convergence test is
+    * "did the state's content change" (WCC's link set) then needs ZERO
+    * extra jobs per superstep — previously a separate full-scan aggregate
+    * job per round. Returns (frame, rdd, rows, signature).
+    */
+  def checkpointFreshHashSig(
+      df: DataFrame, cols: Seq[String]): (DataFrame, RDD[InternalRow], Long, Long) = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    val idx = cols.map(df.schema.fieldIndex).toArray
+    idx.foreach { i =>
+      require(df.schema(i).dataType == org.apache.spark.sql.types.LongType,
+        s"signature column ${df.schema(i).name} must be LongType")
+    }
+    val acc = new XorAccumulator
+    session.sparkContext.register(acc, s"graft.sig.${cols.mkString(",")}")
+    val rdd = qe.toRdd.map { r =>
+      var h = 42L
+      var i = 0
+      while (i < idx.length) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(r.getLong(idx(i)), h)
+        i += 1
+      }
+      acc.add(h)
+      r.copy()
+    }
+    rdd.persist(ckptLevel)
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val physical = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+    val logical = LogicalRDD(
+      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
+    (classic.Dataset.ofRows(session, logical), rdd, n, acc.value.longValue)
+  }
+
   private def flaggedImpl(
       df: DataFrame, flagCol: String,
       flagged: InternalRow => Boolean): (DataFrame, RDD[InternalRow], Long, Long) = {
