@@ -301,7 +301,7 @@ object Scc {
         }
       val next = arena.freshFlagged(
         degs.filter(!col("dead")).drop("dead")
-          .join(dec, Seq("id"), "left")
+          .join(dec.hint("shuffle_hash"), Seq("id"), "left")
           .select(proj(col("oc") - coalesce(col("dOut"), lit(0L)),
             col("ic") - coalesce(col("dIn"), lit(0L))): _*)
           .withColumn("dead", col("oc") <= 0 || col("ic") <= 0),
@@ -482,11 +482,40 @@ object Scc {
     val eBySrc = eClean.repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var eByDstCell: Option[DataFrame] = None
-    def eByDst: DataFrame = eByDstCell.getOrElse {
-      val d = eBySrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-      eByDstCell = Some(d)
-      d
+    def eByDst: DataFrame = synchronized {
+      eByDstCell.getOrElse {
+        val d = eBySrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+        eByDstCell = Some(d)
+        d
+      }
     }
+    // Background prefetch of the dst partitioning (guide §2.6 — overlap
+    // independent jobs): the first BACKWARD BFS hop forces the dst copy's
+    // full-table exchange (~4.7 s of the 36 s wall at the 15.3M-edge point,
+    // all of it inside BFS step 0), yet nothing between the edge
+    // materialization and that hop needs it — pre-trim decrements broadcast,
+    // pivot election reads the degree frame. Kicking the exchange off on a
+    // daemon thread right after the src copy materializes hides it behind
+    // those phases; Spark's scheduler back-fills the cores its tasks need
+    // between the driver-latency gaps of the small pre-trim jobs. Safe:
+    // both threads act on the SAME persisted DataFrame (synchronized cell),
+    // so concurrent actions share cached blocks — worst case a partition is
+    // computed twice, never wrong. The job group lets components() cancel a
+    // still-running prefetch at exit (e.g. a run whose trims finish the
+    // whole graph) instead of leaving a stray job burning the cluster.
+    def prefetchEByDst(): Thread = {
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup("graft-scc-prefetch",
+            "scc: dst edge partitioning prefetch", interruptOnCancel = true)
+          eByDst.write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
+      }, "graft-scc-dst-prefetch")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    var prefetchThread: Option[Thread] = None
 
     // Finished (id, comp) fragments; each is independently materialized (or
     // a lazy filter over a materialized backing frame), the final answer is
@@ -591,6 +620,7 @@ object Scc {
         liveIdPart = true
         round = r + 1
         preTrimDone = false // conservatively run per-round trims
+        prefetchThread = Some(prefetchEByDst())
 
       case None =>
         // ---- ONE action materializes the edge cache AND the full-graph
@@ -620,6 +650,9 @@ object Scc {
           liveCount = lc._2
           graft.Log.v(s"scc: $numEdges edges <= localSolveEdgeThreshold — whole-graph local solve")
         } else {
+        // src copy's blocks just materialized under the degree action —
+        // start the dst-copy exchange now, hidden behind pre-trim + pivot
+        prefetchThread = Some(prefetchEByDst())
         // ---- round -1: GLOBAL trim-1 before anything else (main.cpp:172
         // does the same) — degree-0 peeling needs no partition map and
         // shrinks the first FW-BW round.
@@ -1001,7 +1034,16 @@ object Scc {
             val cols =
               if (singlePivot) Seq(col("_eTo").as("id"), lit(fwd).as("_fwd"))
               else Seq(col("_eTo").as("id"), col("pivot"), lit(fwd).as("_fwd"))
-            frontier.join(e, col("id") === col("_eFrom")).select(cols: _*)
+            // SHUFFLE_HASH with the FRONTIER as build side (guide §3.1): the
+            // big-graph path runs AQE-off, where the checkpointed state's
+            // default stats make the planner fall back to sort-merge — which
+            // re-SORTS the cached edge table on every BFS step. Hash-probing
+            // a per-partition frontier map streams the edge partitions
+            // unsorted; both sides stay co-partitioned, so the join still
+            // adds no exchange. Build size is bounded by the frontier's
+            // partition slice (≤ state/numPartitions rows).
+            frontier.hint("shuffle_hash").join(e, col("id") === col("_eFrom"))
+              .select(cols: _*)
           }
           // single-pivot frontiers don't need the pivot column at all (the
           // hit is membership); in slim mode the state doesn't carry it
@@ -1031,7 +1073,10 @@ object Scc {
               max(col("_fwd")).as("hitF"), max(!col("_fwd")).as("hitB"))
             val outCols: Seq[Column] =
               if (slim) Seq(col("id")) else Seq(col("id"), col("pivot"))
-            st.join(hitAgg, Seq("id"), "left")
+            // hash-build the hit side (bounded by the frontier's targets):
+            // the AQE-off sort-merge fallback re-sorted the whole state
+            // every step (see the frontier-join note above)
+            st.join(hitAgg.hint("shuffle_hash"), Seq("id"), "left")
               .select(outCols :+
                 pack(coalesce(col("hitF"), lit(false)),
                   coalesce(col("hitB"), lit(false))): _*)
@@ -1042,7 +1087,7 @@ object Scc {
               else hits.groupBy("id").agg(
                 collect_set(when(col("_fwd"), col("pivot"))).as("fwPs"),
                 collect_set(when(!col("_fwd"), col("pivot"))).as("bwPs"))
-            st.join(pivotSets, Seq("id"), "left")
+            st.join(pivotSets.hint("shuffle_hash"), Seq("id"), "left")
               .select(col("id"), col("pivot"),
                 pack(
                   coalesce(array_contains(col("fwPs"), col("pivot")), lit(false)),
@@ -1167,6 +1212,13 @@ object Scc {
       if (allParts.isEmpty) verts.select(col("id"), col("id").as("comp")).limit(0)
       else allParts.reduce(_.unionByName(_))
     arena.closeExcept((allParts ++ partBacking).toSeq: _*)
+    // a prefetch that never got consumed (e.g. trims finished the graph)
+    // must not keep running after we return
+    prefetchThread.filter(_.isAlive).foreach { t =>
+      try spark.sparkContext.cancelJobGroup("graft-scc-prefetch")
+      catch { case _: Throwable => () }
+      t.join(2000)
+    }
     eBySrc.unpersist(false)
     eByDstCell.foreach(_.unpersist(false))
     new SccRun(result, metrics.result(), assigned, () => arena.closeExcept())

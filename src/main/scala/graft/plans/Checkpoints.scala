@@ -4,7 +4,6 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftShims}
-import org.apache.spark.sql.catalyst.InternalRow
 
 /** Tracks the stats-free checkpoints (see [[GraftShims.checkpointFresh]])
   * an iterative algorithm creates, so superseded superstep states can be
@@ -16,7 +15,7 @@ import org.apache.spark.sql.catalyst.InternalRow
   * blocks must outlive the arena).
   */
 final class CheckpointArena {
-  private val backing = new java.util.IdentityHashMap[DataFrame, RDD[InternalRow]]()
+  private val backing = new java.util.IdentityHashMap[DataFrame, RDD[_]]()
 
   def fresh(df: DataFrame): DataFrame = freshCounted(df)._1
 
@@ -75,11 +74,15 @@ final class CheckpointArena {
   /** Track a checkpointed frame produced elsewhere (e.g. a sub-algorithm's
     * result whose own arena kept it alive) so this arena can [[release]]
     * its cached blocks once consumed. No-op for non-checkpointed frames.
+    * NOTE: under packed checkpoints (GraftShims round 6) the LogicalRDD's
+    * rdd is the derived row view, not the persisted batch handle, so
+    * release-through-adopt only frees legacy-style frames; currently no
+    * caller uses adopt.
     */
   def adopt(df: DataFrame): DataFrame = {
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        backing.put(df, lr.rdd.asInstanceOf[RDD[InternalRow]])
+        backing.put(df, lr.rdd)
       case _ =>
     }
     df

@@ -2,7 +2,9 @@ package org.apache.spark.sql
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.unsafe.Platform
 
 /** Spark-internal access shim (hence the package) for one operation the
   * public Dataset API cannot express: an eager lineage-cutting checkpoint
@@ -26,23 +28,34 @@ import org.apache.spark.sql.execution.LogicalRDD
   * partitioning through the `LogicalRDD` leaf lets Catalyst prove
   * co-partitioning and skip the exchange — at 10^8-row states that is the
   * difference between O(frontier) and O(state) shuffle bytes per step.
+  *
+  * Round-6 storage change (guide §5 — memory pressure is the measured
+  * limiter at bench scale): checkpointed partitions are cached as PACKED
+  * byte batches ([[PackedRowBatch]]) — each batch one contiguous byte
+  * array of concatenated UnsafeRows plus offset/length arrays, rows
+  * re-materialized by `pointTo` into one reused UnsafeRow per scan. The
+  * previous per-row `copy()` cache kept two heap OBJECTS per row (the
+  * UnsafeRow + its byte[]) alive for the checkpoint's lifetime: at the
+  * 61M-edge SCC point that is ~20M rows × 2 objects per superstep state,
+  * and GC was 34% of executor task time. Packing stores the same bytes in
+  * O(1) objects per batch — no serializer, no compression, just memcpy in
+  * and pointer-bumping out. (The earlier MEMORY_AND_DISK_SER A/B paid
+  * JavaSerializer CPU per row and measured 25% slower; this path has no
+  * per-row serialization cost.) Escape hatch: GRAFT_CKPT_PACK=0 restores
+  * the per-row copy cache.
   */
 object GraftShims {
 
-  /** Storage level for superstep checkpoint blocks. Serialized storage
-    * (GRAFT_CKPT_SER=1) keeps each cached partition as one buffer instead
-    * of millions of resident UnsafeRow objects, trading per-scan
-    * deserialization for old-gen GC pressure. A/B at the 15.3M-edge bench
-    * point (local[32]): serialized measured 25% SLOWER end-to-end —
-    * checkpoint-stage CPU doubled (1.0k→2.2k cpu-sec) while GC fell only
-    * ~250 task-sec, so the deserialized default stands; the knob stays as
-    * a diagnostic for memory-constrained deployments where cache spill,
-    * not CPU, binds.
+  /** Storage level for superstep checkpoint blocks (see the object doc;
+    * GRAFT_CKPT_SER=1 additionally stores the legacy row cache serialized —
+    * kept as a diagnostic for memory-constrained deployments).
     */
   private val ckptLevel =
     if (sys.env.get("GRAFT_CKPT_SER").contains("1"))
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private val packEnabled = !sys.env.get("GRAFT_CKPT_PACK").contains("0")
 
   /** Wrap a raw Catalyst Expression as a user-facing Column (Spark 4 made
     * Column node-based; the classic converter lives in a private[sql]
@@ -55,6 +68,77 @@ object GraftShims {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The shared checkpoint core: materialize `df` once (cache + truncate
+    * lineage), calling `observe` exactly once per row DURING the
+    * materialization pass (ResultStage accumulator semantics — see the
+    * exactness note below), and wrap the cached rows in a fresh LogicalRDD
+    * carrying the physical plan's output partitioning/ordering but default
+    * stats. Returns (frame, persisted-rdd-handle, rowCount).
+    *
+    * EXACTNESS of observe-fed accumulators: the observe call sits in the
+    * final map of the one count() below, i.e. inside that job's ResultStage
+    * tasks. Spark's scheduler applies a ResultTask's accumulator updates
+    * only on the FIRST successful completion of each partition (retries of
+    * failed attempts are discarded — countFailedValues=false — and a
+    * speculative duplicate's updates are ignored because the partition is
+    * already finished), so observe-fed counts are exactly-once per
+    * partition even under task retry, stage retry, and speculation — unlike
+    * an accumulator in a ShuffleMapStage, where re-executed map tasks DO
+    * double-count. The other recompute path (a later job re-running this
+    * map after cache eviction) is closed by the localCheckpoint: lineage is
+    * truncated, so Spark reloads blocks or fails — never re-executes.
+    * Callers may therefore use ridden counts as exact tallies (Scc's
+    * fragment-exactness requires do), not just convergence signals.
+    */
+  private def ckptImpl(
+      df: DataFrame, observe: InternalRow => Unit): (DataFrame, RDD[_], Long) = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    val (handle: RDD[_], rows: RDD[InternalRow], n: Long) =
+      if (packEnabled) {
+        val rowCount = session.sparkContext.longAccumulator("graft.ckpt.rows")
+        val nf = qe.analyzed.output.size
+        val packed = qe.toRdd.mapPartitions { it =>
+          PackedRowBatch.pack(it, nf, r => { observe(r); rowCount.add(1L) })
+        }
+        packed.persist(ckptLevel)
+        packed.localCheckpoint()
+        packed.count()
+        val rowsRdd = packed.mapPartitions(_.flatMap(_.rowIterator),
+          preservesPartitioning = true)
+        (packed, rowsRdd, rowCount.value.longValue)
+      } else {
+        // legacy per-row copy cache (GRAFT_CKPT_PACK=0): toRdd rows are
+        // reused per-partition buffers; copy before caching.
+        val rdd = qe.toRdd.map { r => observe(r); r.copy() }
+        rdd.persist(ckptLevel)
+        rdd.localCheckpoint()
+        val n = rdd.count()
+        (rdd, rdd, n)
+      }
+    // AdaptiveSparkPlanExec reports UnknownPartitioning at the top even
+    // after finalization — unwrap to the final physical plan or the
+    // partitioning is silently lost and every downstream same-key join
+    // re-exchanges the state (caught by PlanSpec).
+    val physical = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+    val logical = LogicalRDD(
+      physical.output, rows, physical.outputPartitioning, physical.outputOrdering)(session)
+    (classic.Dataset.ofRows(session, logical), handle, n)
+  }
+
+  /** Eagerly materialize `df` into a cached, lineage-truncated RDD and wrap
+    * it in a fresh DataFrame with the same schema and output partitioning
+    * but default (not inherited) stats. Returns the DataFrame, the backing
+    * RDD handle so callers can `unpersist` once superseded, and the exact
+    * materialized row count.
+    */
+  def checkpointFresh(df: DataFrame): (DataFrame, RDD[_], Long) =
+    ckptImpl(df, _ => ())
+
   /** [[checkpointFresh]] that additionally counts rows whose boolean column
     * `flagCol` is true, DURING the materialization pass (via accumulator) —
     * an iterative algorithm's convergence check then costs zero extra jobs
@@ -62,7 +146,7 @@ object GraftShims {
     * (frame, rdd, totalRows, flaggedRows).
     */
   def checkpointFreshFlagged(
-      df: DataFrame, flagCol: String): (DataFrame, RDD[InternalRow], Long, Long) = {
+      df: DataFrame, flagCol: String): (DataFrame, RDD[_], Long, Long) = {
     val idx = df.schema.fieldIndex(flagCol)
     flaggedImpl(df, flagCol, r => !r.isNullAt(idx) && r.getBoolean(idx))
   }
@@ -73,7 +157,7 @@ object GraftShims {
     * still ride the convergence count on the materialization pass.
     */
   def checkpointFreshFlaggedMasked(
-      df: DataFrame, flagCol: String, mask: Int): (DataFrame, RDD[InternalRow], Long, Long) = {
+      df: DataFrame, flagCol: String, mask: Int): (DataFrame, RDD[_], Long, Long) = {
     val idx = df.schema.fieldIndex(flagCol)
     flaggedImpl(df, flagCol, r => !r.isNullAt(idx) && (r.getInt(idx) & mask) != 0)
   }
@@ -104,18 +188,16 @@ object GraftShims {
     * edge total and full-graph max degrees, previously a separate agg job
     * on every call). Null column values count as 0 toward the sum and are
     * skipped for the max. Same exactness argument as the flag accumulator
-    * (see [[flaggedImpl]]: ResultStage updates apply once per partition,
-    * and the localCheckpoint forbids later recompute), so counts/sums are
-    * exact too; maxes are additionally idempotent by construction. Callers
-    * here still use the stats only to pick strategies (thresholds,
-    * logging) — results never depend on them.
+    * (see [[ckptImpl]]), so counts/sums are exact too; maxes are
+    * additionally idempotent by construction. Callers here still use the
+    * stats only to pick strategies (thresholds, logging) — results never
+    * depend on them.
     * Returns (frame, rdd, totalRows, flaggedRows, sums, maxes).
     */
   def checkpointFreshFlaggedWithLongStats(
       df: DataFrame, flagCol: String, statCols: Seq[String]):
-      (DataFrame, RDD[InternalRow], Long, Long, Array[Long], Array[Long]) = {
+      (DataFrame, RDD[_], Long, Long, Array[Long], Array[Long]) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val qe = df.queryExecution
     val flagIdx = df.schema.fieldIndex(flagCol)
     val statIdx = statCols.map(df.schema.fieldIndex).toArray
     statIdx.foreach { i =>
@@ -130,7 +212,7 @@ object GraftShims {
       session.sparkContext.register(a, s"graft.max.$c")
       a
     }.toArray
-    val rdd = qe.toRdd.map { r =>
+    val (out, rdd, n) = ckptImpl(df, { r =>
       if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) flagAcc.add(1L)
       var i = 0
       while (i < statIdx.length) {
@@ -141,26 +223,15 @@ object GraftShims {
         }
         i += 1
       }
-      r.copy()
-    }
-    rdd.persist(ckptLevel)
-    rdd.localCheckpoint()
-    val n = rdd.count()
-    val physical = qe.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.finalPhysicalPlan
-      case p => p
-    }
-    val logical = LogicalRDD(
-      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
-    (classic.Dataset.ofRows(session, logical), rdd, n, flagAcc.value,
+    })
+    (out, rdd, n, flagAcc.value,
       sumAccs.map(_.value.longValue),
       maxAccs.map(a => math.max(0L, a.value.longValue)))
   }
 
   /** Xor-of-longs accumulator: order-free content signature. Exactly-once
     * under retry/speculation by the same ResultStage argument as the sum
-    * accumulators (see [[flaggedImpl]]); callers additionally treat the
+    * accumulators (see [[ckptImpl]]); callers additionally treat the
     * value only as a CONVERGENCE SIGNAL confirmed by an exact set compare
     * on first stability, so results never depend on it.
     */
@@ -190,9 +261,8 @@ object GraftShims {
     * job per round. Returns (frame, rdd, rows, signature).
     */
   def checkpointFreshHashSig(
-      df: DataFrame, cols: Seq[String]): (DataFrame, RDD[InternalRow], Long, Long) = {
+      df: DataFrame, cols: Seq[String]): (DataFrame, RDD[_], Long, Long) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val qe = df.queryExecution
     val idx = cols.map(df.schema.fieldIndex).toArray
     idx.foreach { i =>
       require(df.schema(i).dataType == org.apache.spark.sql.types.LongType,
@@ -200,7 +270,7 @@ object GraftShims {
     }
     val acc = new XorAccumulator
     session.sparkContext.register(acc, s"graft.sig.${cols.mkString(",")}")
-    val rdd = qe.toRdd.map { r =>
+    val (out, rdd, n) = ckptImpl(df, { r =>
       var h = 42L
       var i = 0
       while (i < idx.length) {
@@ -208,58 +278,17 @@ object GraftShims {
         i += 1
       }
       acc.add(h)
-      r.copy()
-    }
-    rdd.persist(ckptLevel)
-    rdd.localCheckpoint()
-    val n = rdd.count()
-    val physical = qe.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.finalPhysicalPlan
-      case p => p
-    }
-    val logical = LogicalRDD(
-      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
-    (classic.Dataset.ofRows(session, logical), rdd, n, acc.value.longValue)
+    })
+    (out, rdd, n, acc.value.longValue)
   }
 
   private def flaggedImpl(
       df: DataFrame, flagCol: String,
-      flagged: InternalRow => Boolean): (DataFrame, RDD[InternalRow], Long, Long) = {
+      flagged: InternalRow => Boolean): (DataFrame, RDD[_], Long, Long) = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val qe = df.queryExecution
     val acc = session.sparkContext.longAccumulator(s"graft.flagged.$flagCol")
-    // EXACTNESS: the increment sits in the FINAL map of the one count()
-    // below, i.e. inside that job's ResultStage tasks. Spark's scheduler
-    // applies a ResultTask's accumulator updates only on the FIRST
-    // successful completion of each partition (retries of failed attempts
-    // are discarded — countFailedValues=false — and a speculative
-    // duplicate's updates are ignored because the partition is already
-    // finished), so the flagged count is exactly-once per partition even
-    // under task retry, stage retry, and speculation — unlike an
-    // accumulator in a ShuffleMapStage, where re-executed map tasks DO
-    // double-count. The other recompute path (a later job re-running this
-    // map after cache eviction) is closed by the localCheckpoint: lineage
-    // is truncated, so Spark reloads blocks or fails — never re-executes.
-    // Callers may therefore use the flagged count as an exact tally (Scc's
-    // fragment-exactness requires do), not just a convergence signal.
-    // Exact per-step counts via a second aggregation would cost a second
-    // job per superstep, which is the latency this shim exists to remove.
-    val rdd = qe.toRdd.map { r =>
-      if (flagged(r)) acc.add(1L)
-      r.copy()
-    }
-    rdd.persist(ckptLevel)
-    rdd.localCheckpoint()
-    val n = rdd.count()
-    val physical = qe.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.finalPhysicalPlan
-      case p => p
-    }
-    val logical = LogicalRDD(
-      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
-    (classic.Dataset.ofRows(session, logical), rdd, n, acc.value)
+    val (out, rdd, n) = ckptImpl(df, r => if (flagged(r)) acc.add(1L))
+    (out, rdd, n, acc.value)
   }
 
   /** Drain the listener bus so a task-metrics snapshot taken right after a
@@ -272,32 +301,89 @@ object GraftShims {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty(30000L)
     catch { case _: Throwable => () }
+}
 
-  /** Eagerly materialize `df` into a cached, lineage-truncated RDD and wrap
-    * it in a fresh DataFrame with the same schema and output partitioning
-    * but default (not inherited) stats. Returns the DataFrame, the backing
-    * RDD handle so callers can `unpersist` once superseded, and the exact
-    * materialized row count.
-    */
-  def checkpointFresh(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
-    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val qe = df.queryExecution
-    // toRdd rows are reused per-partition buffers; copy before caching.
-    val rdd = qe.toRdd.map(_.copy())
-    rdd.persist(ckptLevel)
-    rdd.localCheckpoint() // mark RDD lineage truncation
-    val n = rdd.count()   // materialize now (finalizes the AQE plan too)
-    // AdaptiveSparkPlanExec reports UnknownPartitioning at the top even
-    // after finalization — unwrap to the final physical plan or the
-    // partitioning is silently lost and every downstream same-key join
-    // re-exchanges the state (caught by PlanSpec).
-    val physical = qe.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.finalPhysicalPlan
-      case p => p
+/** One cached checkpoint batch: up to [[PackedRowBatch.targetBytes]] of
+  * concatenated UnsafeRow bytes in ONE array, plus per-row offset/length.
+  * Rows re-materialize on scan via `pointTo` into a single reused UnsafeRow
+  * (downstream Spark operators treat incoming InternalRows as reusable
+  * buffers — the LogicalRDD scan's UnsafeProjection copies values out per
+  * row, the same contract as rows read from shuffle or cache). The rare
+  * non-UnsafeRow input row (no whole-stage-codegen top operator) is kept as
+  * a copied object with a negative length marking its slot, preserving row
+  * order exactly.
+  */
+private[sql] final class PackedRowBatch(
+    val numFields: Int,
+    val data: Array[Byte],
+    val offsets: Array[Int],
+    val lens: Array[Int],
+    val others: Array[InternalRow]) extends Serializable {
+
+  def rowIterator: Iterator[InternalRow] = new scala.collection.AbstractIterator[InternalRow] {
+    private var i = 0
+    private val row = new UnsafeRow(numFields)
+    override def hasNext: Boolean = i < lens.length
+    override def next(): InternalRow = {
+      val l = lens(i)
+      val out =
+        if (l >= 0) {
+          row.pointTo(data, Platform.BYTE_ARRAY_OFFSET + offsets(i), l)
+          row
+        } else others(-l - 1)
+      i += 1
+      out
     }
-    val logical = LogicalRDD(
-      physical.output, rdd, physical.outputPartitioning, physical.outputOrdering)(session)
-    (classic.Dataset.ofRows(session, logical), rdd, n)
   }
+}
+
+private[sql] object PackedRowBatch {
+  /** Per-batch data cap: bounds transient build memory and keeps any
+    * disk-spill unit reasonable; multiple batches per partition are fine.
+    */
+  val targetBytes: Int = 32 << 20
+
+  /** Pack a partition's rows into batches, calling `observe` exactly once
+    * per row as it streams by.
+    */
+  def pack(
+      it: Iterator[InternalRow], numFields: Int,
+      observe: InternalRow => Unit): Iterator[PackedRowBatch] =
+    new scala.collection.AbstractIterator[PackedRowBatch] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): PackedRowBatch = {
+        var data = new Array[Byte](64 << 10)
+        var used = 0
+        val offsets = new scala.collection.mutable.ArrayBuilder.ofInt
+        val lens = new scala.collection.mutable.ArrayBuilder.ofInt
+        val others = scala.collection.mutable.ArrayBuffer[InternalRow]()
+        var full = false
+        while (it.hasNext && !full) {
+          val r = it.next()
+          observe(r)
+          r match {
+            case u: UnsafeRow =>
+              val sz = u.getSizeInBytes
+              if (used + sz > data.length) {
+                var cap = data.length.toLong
+                while (cap < used + sz) cap *= 2
+                data = java.util.Arrays.copyOf(data, math.min(cap, Int.MaxValue - 8).toInt)
+              }
+              Platform.copyMemory(u.getBaseObject, u.getBaseOffset,
+                data, Platform.BYTE_ARRAY_OFFSET + used, sz.toLong)
+              offsets += used
+              lens += sz
+              used += sz
+            case other =>
+              others += other.copy()
+              offsets += 0
+              lens += -others.size // -(index+1)
+          }
+          if (used >= targetBytes) full = true
+        }
+        new PackedRowBatch(numFields,
+          if (used == data.length) data else java.util.Arrays.copyOf(data, used),
+          offsets.result(), lens.result(), others.toArray)
+      }
+    }
 }
