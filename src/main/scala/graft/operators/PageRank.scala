@@ -91,14 +91,29 @@ object PageRank {
       val danglingDf = state.filter(col("outDeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0)).as("danglingMass"))
 
-      val contribs = state
+      // SHUFFLE_HASH on BIG graphs only (guide §3.1): above the AQE-off
+      // size cutover the checkpointed state carries default stats and the
+      // planner's fallback was sort-merge — re-SORTING the cached edge
+      // table and the state on every iteration; hash-building the state /
+      // contribs side streams the big sides unsorted, and both joins stay
+      // co-partitioned (state hash(id), edges hash(src), contribs hash(id)
+      // from its own aggregation), so no new exchange appears. BELOW the
+      // cutover AQE is on and the forced hint measured 2× SLOWER than
+      // AQE's own broadcast/coalesce choices — so the hint follows the
+      // same size gate as the AQE policy. Float-sum order changes only
+      // within partitions, which the rank outputs already tolerate (ranks
+      // round to 6 dp before ranking; the oracle sums in its own order) —
+      // gated by the hash-exact oracle compare.
+      def sized(df: DataFrame): DataFrame =
+        if (n >= graft.plans.Superstep.aqeOffMinStateRows) df.hint("shuffle_hash") else df
+      val contribs = sized(state)
         .join(edgesBySrc, state("id") === edgesBySrc("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outDeg")).as("contrib"))
 
       state
         .select(col("id"), col("outDeg"), col("rank").as("prevRank"))
-        .join(contribs, Seq("id"), "left")
+        .join(sized(contribs), Seq("id"), "left")
         .crossJoin(broadcast(danglingDf))
         .select(
           col("id"),
