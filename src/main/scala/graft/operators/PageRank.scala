@@ -127,7 +127,8 @@ object PageRank {
     }
 
     val steps = (maxIter + itersPerStep - 1) / itersPerStep
-    val harness = new Superstep(spark, "pagerank", snapshotDir, arena = arena)
+    val harness = new Superstep(spark, "pagerank", snapshotDir, arena = arena,
+      tinyLoop = true)
     val (converged, metrics) = harness.run(state0, steps, changedCol = Some("changed")) {
       (state, step) =>
       val itersThisStep = math.min(itersPerStep, maxIter - step * itersPerStep)

@@ -83,7 +83,8 @@ object Wcc {
         .distinct()
     }
 
-    val harness = new Superstep(spark, "wcc", snapshotDir, arena = arena)
+    val harness = new Superstep(spark, "wcc", snapshotDir, arena = arena,
+      tinyLoop = true)
     // largeStar's first distinct dedupes anyway; an input distinct here
     // would be one more full shuffle of the edge table.
     val links0 = edges

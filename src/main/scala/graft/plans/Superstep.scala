@@ -24,12 +24,21 @@ final case class StepMetrics(iter: Int, changed: Long, wallMs: Long)
   *     line (iteration, changed count, wall ms). `resume` restarts from the
   *     newest snapshot.
   */
+/** @param tinyLoop opt-in to the tiny-state shuffle-partition override
+  *   (see [[Superstep.withTinyShuffle]]): right for loops whose per-step
+  *   plans touch only the state and its own aggregates (PageRank, WCC);
+  *   WRONG for loops joining large fixed-partitioning caches each step
+  *   (SCC's BFS hops against the 2×-partitioned edge tables re-exchanged
+  *   the edge side every hop under the override — measured 3× slower at
+  *   sf0.1).
+  */
 final class Superstep(
     spark: SparkSession,
     name: String,
     snapshotDir: Option[String] = None,
     snapshotEvery: Int = 10,
-    arena: CheckpointArena = new CheckpointArena) {
+    arena: CheckpointArena = new CheckpointArena,
+    tinyLoop: Boolean = false) {
 
   private def manifestPath = snapshotDir.map(d => Paths.get(d, s"$name.manifest.jsonl"))
 
@@ -109,7 +118,10 @@ final class Superstep(
       iter += 1
       }
     }
-    if (aqeOff) Aqe.off(spark)(loop()) else loop()
+    if (aqeOff) Aqe.off(spark)(loop())
+    else if (tinyLoop && state0Rows <= Superstep.tinyLoopMaxStateRows)
+      Superstep.withTinyShuffle(spark, state0Rows)(loop())
+    else loop()
     (state, metrics.result())
   }
 
@@ -159,4 +171,28 @@ object Superstep {
     */
   val aqeOffMinStateRows: Long =
     sys.env.get("GRAFT_AQE_MIN_ROWS").map(_.toLong).getOrElse(1000000L)
+
+  /** TINY-loop cutover: below this state size the per-superstep cost is
+    * pure fixed overhead, and AQE's answer (coalesce every post-shuffle
+    * stage to ~1 task) still pays one query-stage JOB per exchange per
+    * step — ~6 scheduled jobs per iteration on a 3-shuffle loop. Running
+    * the loop AQE-OFF with the shuffle partition count derived from the
+    * state size (~1 partition per 50k rows) gets the same tiny task
+    * counts as one pipelined job per step. Between the two cutovers
+    * (tiny .. aqeOffMin) AQE's runtime choices win (measured round 4) and
+    * stay in charge.
+    */
+  val tinyLoopMaxStateRows: Long =
+    sys.env.get("GRAFT_TINY_LOOP_MAX_ROWS").map(_.toLong).getOrElse(100000L)
+
+  /** Run `f` with AQE off and `spark.sql.shuffle.partitions` sized to the
+    * state (clamped to [2, current]); restores both settings after. */
+  def withTinyShuffle[T](spark: SparkSession, stateRows: Long)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key, "200")
+    val sized = math.max(2L, math.min(prev.toLong, stateRows / 50000L + 2L))
+    spark.conf.set(key, sized.toString)
+    try Aqe.off(spark)(f)
+    finally spark.conf.set(key, prev)
+  }
 }
