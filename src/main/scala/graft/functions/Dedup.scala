@@ -112,10 +112,19 @@ object Dedup {
         col("na") >= lit(threshold) * col("nb") && col("nb") >= lit(threshold) * col("na"))
       .select("a", "b")
       .distinct()
+    // Verify joins attach raw TEXT and shingle AFTER the join: `sh` is an
+    // un-persisted view, so joining it directly re-ran the shingle kernel
+    // over the whole corpus once per side; post-join shingling computes it
+    // only for rows that actually matched a surviving pair (candidate ids
+    // all came from `sig`, so their shingle sets are non-empty by
+    // construction and the size>0 pre-filter is not needed here).
+    val txt = docs.select(id.as("id"), text.as("txt"))
     candidates
-      .join(sh.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
-      .select(col("a"), col("b"), round(jaccard(col("shA"), col("shB")), 6).as("jaccard"))
+      .join(txt.select(col("id").as("a"), col("txt").as("ta")), Seq("a"))
+      .join(txt.select(col("id").as("b"), col("txt").as("tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(jaccard(shingles(col("ta"), shingleK), shingles(col("tb"), shingleK)), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

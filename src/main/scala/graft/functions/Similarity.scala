@@ -91,7 +91,11 @@ object Similarity {
       explode(concat(array(col("b0")),
         transform(sequence(lit(0), lit(probes - 1)),
           p => col("b0").bitwiseXOR(element_at(typedLit(bitMasks), p + 1))))).as("bucket"))
-    q.join(c, Seq("bucket"))
+    // queries are the small side by contract: broadcast them so the corpus's
+    // bucket column streams through the join with no exchange (guide §3.1;
+    // size estimates for a filtered parquet scan routinely overshoot the
+    // 10 MB auto threshold and fell back to shuffling the corpus)
+    broadcast(q).join(c, Seq("bucket"))
       .filter(col("queryId") =!= col("neighborId"))
       .select("queryId", "neighborId")
       .distinct()
@@ -114,8 +118,10 @@ object Similarity {
       .withColumn("qn", l2norm(col("qv")))
     val c = corpus.select(col(cId).as("neighborId"), col(cVec).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    cand.join(broadcast(q), Seq("queryId"))
-      .join(c, Seq("neighborId"))
+    // (candidates × queries) is small by construction — broadcast it so the
+    // corpus side never shuffles by neighborId (the old plan sort-merged the
+    // full corpus against a few hundred candidate rows)
+    c.join(broadcast(cand.join(broadcast(q), Seq("queryId"))), Seq("neighborId"))
       .withColumn("cosine",
         when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .otherwise(0.0))

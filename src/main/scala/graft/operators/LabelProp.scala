@@ -60,27 +60,41 @@ object LabelProp {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val seeds1 = seeds.groupBy("id").agg(min("label").as("seedLabel"))
-    var state = arena.fresh(
+    val (st0, stateRows) = arena.freshCounted(
       verts.select("id")
         .join(seeds1, Seq("id"), "left")
         .withColumn("label", col("seedLabel"))
         .repartition(col("id")))
+    var state = st0
 
-    for (_ <- 1 to iterations) {
-      val contrib = eBySrc
-        .join(state.filter(col("label").isNotNull)
-          .select(col("id").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy("dst")
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("id"), (-col("m.nl")).as("cand"))
-      val next = arena.fresh(
-        state.join(contrib, Seq("id"), "left")
-          .select(col("id"), col("seedLabel"),
-            coalesce(col("seedLabel"), col("cand"), col("label")).as("label")))
-      arena.release(state)
-      state = next
+    def loop(): Unit = {
+      for (_ <- 1 to iterations) {
+        val contrib = eBySrc
+          .join(state.filter(col("label").isNotNull)
+            .select(col("id").as("src"), col("label")), Seq("src"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy("dst")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("dst").as("id"), (-col("m.nl")).as("cand"))
+        val next = arena.fresh(
+          state.join(contrib, Seq("id"), "left")
+            .select(col("id"), col("seedLabel"),
+              coalesce(col("seedLabel"), col("cand"), col("label")).as("label")))
+        arena.release(state)
+        state = next
+      }
     }
+    // Same size-tiered loop policy as Superstep.run (the per-round plan here
+    // touches only the state, its aggregates and the co-partitioned eBySrc —
+    // the PageRank/WCC shape, not SCC's fixed-partitioning BFS): a big state
+    // runs AQE-off (query-stage barriers are pure per-round latency), a tiny
+    // one runs AQE-off with state-sized shuffle partitions (one pipelined
+    // job per round), and mid-sized states keep AQE's runtime choices.
+    if (stateRows >= graft.plans.Superstep.aqeOffMinStateRows)
+      graft.plans.Aqe.off(spark)(loop())
+    else if (stateRows <= graft.plans.Superstep.tinyLoopMaxStateRows)
+      graft.plans.Superstep.withTinyShuffle(spark, stateRows)(loop())
+    else loop()
 
     val out = state.select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
     eBySrc.unpersist(false)
