@@ -56,7 +56,10 @@ object CodeTable {
       .groupBy(col("src").as("fileId"))
       .agg(array_sort(collect_list(format_string("f%09d", col("dst")))).as("refs"))
 
-    spark.range(spec.numVertices)
+    // split count sized to the table (see GraphGen.slicesFor): a tiny spec
+    // otherwise fans every downstream stage out to defaultParallelism tasks
+    // whose fixed per-task costs dominate the whole query
+    spark.range(0, spec.numVertices, 1, GraphGen.slicesFor(spark, spec.numVertices))
       .select(col("id").as("fileId"))
       .join(adj, Seq("fileId"), "left")
       .withColumn("refs", coalesce(col("refs"), array()))

@@ -54,6 +54,20 @@ final case class MidTestSpec(
 
 object GraphGen {
 
+  /** Range split count sized to the row count (~1 split per 32k rows,
+    * clamped to [1, defaultParallelism]). `spark.range(n)` always fans out
+    * to defaultParallelism tasks; for tiny synthetic tables every one of
+    * those tasks pays Spark's fixed per-task costs — a ~page-sized
+    * RowBasedKeyValueBatch allocation in each hash aggregate and a
+    * file-create+commit per shuffle map task — which dominated the
+    * generator-backed queries (thread-dump evidence, OPTIMIZATION_r06.md).
+    * Row values are a pure function of `id`, so the split count never
+    * changes results.
+    */
+  private[sources] def slicesFor(spark: SparkSession, n: Long): Int =
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 32768L + 1L)).toInt
+
   /** The c/pos/len cycle-assignment columns shared by [[edges]] and
     * [[vertices]] — ONE copy of the algebra so the two can never silently
     * diverge, and in the LONG domain end-to-end: `id div b` is exact
@@ -74,7 +88,8 @@ object GraphGen {
     val b = lit(spec.blockSize.toLong)
     val n = spec.numVertices
 
-    val cycleEdges = withCycleCols(spark.range(n).toDF(), spec)
+    val cycleEdges = withCycleCols(
+      spark.range(0, n, 1, slicesFor(spark, n)).toDF(), spec)
       .filter(col("pos") < col("len"))
       .select(
         col("id").as("src"),
@@ -83,7 +98,7 @@ object GraphGen {
           .as("dst"))
 
     val extraArcs = spark
-      .range(spec.numExtraArcs)
+      .range(0, spec.numExtraArcs, 1, slicesFor(spark, spec.numExtraArcs))
       .select(
         pmod(xxhash64(lit(spec.seed + 1), col("id")), lit(n)).as("src"),
         pmod(xxhash64(lit(spec.seed + 2), col("id")), lit(n)).as("dst"))
@@ -162,7 +177,8 @@ object GraphGen {
 
   /** Vertex table (id: long, isU: boolean). */
   def vertices(spark: SparkSession, spec: GraphSpec): DataFrame = {
-    withCycleCols(spark.range(spec.numVertices).toDF(), spec)
+    withCycleCols(
+      spark.range(0, spec.numVertices, 1, slicesFor(spark, spec.numVertices)).toDF(), spec)
       .select(
         col("id"),
         ((col("pos") < col("len") && pmod(xxhash64(lit(spec.seed + 3), col("c")), lit(2)) === 0) ||

@@ -156,10 +156,15 @@ class CatalogSpec extends SparkTest {
       GraphSpec(numCycles = 32, maxCycleLen = 5, extraArcsPerVertex = 0.4, seed = 24L))
     val pred = Seq(TableCatalog.LongBetween("fileId", 50L, 120L))
 
-    // unclustered: round-robin partitions → every file spans ~the whole
-    // fileId domain → bounds keep every file (correct, just no pruning)
+    // unclustered: residue-class partitions → every file spans ~the whole
+    // fileId domain → bounds keep every file (correct, just no pruning).
+    // The scatter is explicit (pmod 8) rather than round-robin: round-robin
+    // deals from however many input splits the generator happens to use,
+    // and from a single split the 5-row (partition, lang) files can land
+    // tight-by-chance bounds that legitimately prune — the test's contract
+    // is about WIDE-bounds files, so make the bounds wide deterministically.
     val flat = freshTable()
-    TableCatalog.commitAppend(spark, flat, gen.repartition(8))
+    TableCatalog.commitAppend(spark, flat, gen.repartition(8, pmod(col("fileId"), lit(8))))
     val flatAll = TableCatalog.scan(spark, flat)
     val flatSel = TableCatalog.scan(spark, flat, predicates = pred)
     assert(flatSel.inputFiles.length == flatAll.inputFiles.length)
