@@ -32,9 +32,16 @@ object Jsonl {
     val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq
     if (lines.nonEmpty && !parses(lines.last) && lines.init.forall(parses)) {
       graft.Log.v(s"resume: truncating torn final manifest line in $p")
-      java.nio.file.Files.write(p,
+      // write-to-tmp + atomic rename: a crash mid-repair must never lose the
+      // previously committed lines (an in-place truncate-then-write can)
+      val tmp = p.resolveSibling(
+        p.getFileName.toString + s".repair-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp,
         lines.init.mkString("", "\n", if (lines.init.isEmpty) "" else "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       lines.init
     } else lines
   }

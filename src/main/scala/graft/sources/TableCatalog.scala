@@ -502,10 +502,21 @@ object TableCatalog {
   // renames via the field id; a dropped-then-re-added name gets a FRESH
   // fid, so data written under the dropped column never resurrects.
 
+  /** The schema header is line-oriented JSON parsed with delimiter-anchored
+    * regexes; names containing the delimiters (or raw quotes/escapes/control
+    * chars) would be jstr-escaped on write but split wrongly on reload,
+    * silently dropping later fields. Refuse them at evolution time. */
+  private def validateColName(name: String): Unit =
+    require(name.nonEmpty &&
+      !name.exists(c => c < ' ' || c == '"' || c == '\\' || c == ']' || c == '}'),
+      s"invalid column name '$name': must be non-empty and contain no " +
+        "control characters, '\"', '\\\\', ']' or '}'")
+
   /** Add a nullable column (existing files read it as null). `dtype` is a
     * Spark catalog type string (`bigint`, `string`, `double`, …). */
   def addColumn(table: String, name: String, dtype: String): Int = {
     val dt = normType(dtype) // validate eagerly AND canonicalize ("BIGINT"→"bigint")
+    validateColName(name)
     evolveSchema(table) { (schemas, cur) =>
       require(name != "lang", "lang is the partition column and cannot be evolved")
       require(!cur.fields.exists(_.name == name), s"column $name already exists")
@@ -518,7 +529,8 @@ object TableCatalog {
 
   /** Rename a column; files written under the old name keep serving it
     * (mapped by fid). */
-  def renameColumn(table: String, from: String, to: String): Int =
+  def renameColumn(table: String, from: String, to: String): Int = {
+    validateColName(to)
     evolveSchema(table) { (_, cur) =>
       require(from != "lang" && to != "lang",
         "lang is the partition column and cannot be evolved")
@@ -526,6 +538,7 @@ object TableCatalog {
       require(!cur.fields.exists(_.name == to), s"column $to already exists")
       cur.fields.map(f => if (f.name == from) f.copy(name = to) else f)
     }
+  }
 
   /** Drop a column. The bytes stay in old data files; scans stop projecting
     * them, and new commits must not include the column. */
@@ -747,8 +760,15 @@ object TableCatalog {
       else using(Files.list(md))(_.iterator().asScala
         .flatMap(p => snapRe.unapplySeq(p.getFileName.toString).map(_.head.toInt))
         .toSeq)
-    val referenced = ids.flatMap(id => snapshot(table, id).entries.map(e =>
-      Paths.get(e.path).toAbsolutePath.normalize.toString)).toSet
+    val referenced = ids.flatMap { id =>
+      // a concurrent expireSnapshots may delete a manifest between the
+      // listing above and this read; its references were either re-carried
+      // by a newer snapshot or expired — skip it, don't fail the pass
+      if (!Files.exists(manifestFile(table, id))) Nil
+      else try snapshot(table, id).entries.map(e =>
+        Paths.get(e.path).toAbsolutePath.normalize.toString)
+      catch { case _: java.nio.file.NoSuchFileException => Nil }
+    }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val all = using(Files.walk(dataDir))(_.iterator().asScala
       .filter(p => Files.isRegularFile(p)).toSeq) // materialize before mutating

@@ -307,6 +307,13 @@ class CatalogSpec extends SparkTest {
     intercept[IllegalArgumentException](TableCatalog.renameColumn(table, "sha", "stars"))
     intercept[IllegalArgumentException](TableCatalog.dropColumn(table, "lang"))
     intercept[IllegalArgumentException](TableCatalog.addColumn(table, "sha", "string"))
+    // names that would break the line-oriented schema-header parse on reload
+    // (']'/'}' end the regex match early; quotes/escapes/control chars likewise)
+    for (bad <- Seq("a]}", "b\"c", "d\\e", "f}g", "", "h\ni"))
+      intercept[IllegalArgumentException](TableCatalog.addColumn(table, bad, "bigint"))
+    intercept[IllegalArgumentException](TableCatalog.renameColumn(table, "stars", "s]"))
+    // a legal evolution still works after the refusals
+    TableCatalog.addColumn(table, "ok_name", "bigint")
   }
 
   test("commit type mismatches are refused, not silently cast to null on scan") {
